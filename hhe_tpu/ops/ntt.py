@@ -1,0 +1,182 @@
+"""Negacyclic NTT over RNS limbs — the hot kernel of the HE engine.
+
+Replaces SEAL's NTTTables / ntt_negacyclic_harvey (``seal/util/ntt.h``,
+``seal/util/dwthandler.h``) with a TPU-native design:
+
+- Merged-ψ iterative NTT (Cooley-Tukey butterflies forward, Gentleman-Sande
+  inverse) with twiddle factors stored in bit-reversed order and Montgomery
+  form.  Forward maps natural -> bit-reversed order; inverse maps
+  bit-reversed -> natural.  All pointwise ciphertext algebra happens in the
+  bit-reversed evaluation domain, so no reordering gathers appear anywhere on
+  the hot path (SEAL makes the same choice).
+- The stage loop is a static Python loop (log2 N stages) over reshaped
+  ``[..., k, m, 2, t]`` views: every stage is one fused VPU-wide
+  multiply/add/select — XLA fuses the whole transform; shapes are static.
+- Tables are per-limb ``[k, N]`` arrays living in HBM, broadcast against
+  ciphertext tensors ``[..., k, N]``.
+
+A four-step (128x128) MXU formulation is layered on top for large N in
+``hhe_tpu.ops.kernels`` (later optimization); this module is the canonical
+semantics.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import modular, primes
+
+
+def bit_reverse_indices(n: int) -> np.ndarray:
+    logn = n.bit_length() - 1
+    idx = np.arange(n, dtype=np.int64)
+    rev = np.zeros_like(idx)
+    for b in range(logn):
+        rev |= ((idx >> b) & 1) << (logn - 1 - b)
+    return rev
+
+
+class NttTables(NamedTuple):
+    """Per-limb-set NTT tables (device arrays)."""
+
+    q: jnp.ndarray  # [k, 1] u32 moduli
+    qinv_neg: jnp.ndarray  # [k, 1] u32  (-q^-1 mod 2^32)
+    r2: jnp.ndarray  # [k, 1] u32  (2^64 mod q, for to_mont)
+    psi_br: jnp.ndarray  # [k, N] u32 Montgomery-domain psi^bitrev(i)
+    ipsi_br: jnp.ndarray  # [k, N] u32 Montgomery-domain psi^-bitrev(i)
+    ninv: jnp.ndarray  # [k, 1] u32 Montgomery-domain N^-1
+
+
+@functools.lru_cache(maxsize=32)
+def build_tables(moduli: Tuple[int, ...], n: int) -> NttTables:
+    """Host-precomputed tables for the given RNS moduli and polynomial degree."""
+    k = len(moduli)
+    rev = bit_reverse_indices(n)
+    q_arr = np.zeros((k, 1), np.uint32)
+    qi_arr = np.zeros((k, 1), np.uint32)
+    r2_arr = np.zeros((k, 1), np.uint32)
+    psi_t = np.zeros((k, n), np.uint32)
+    ipsi_t = np.zeros((k, n), np.uint32)
+    ninv_t = np.zeros((k, 1), np.uint32)
+    for i, q in enumerate(moduli):
+        qinv_neg, r1, r2 = modular.mont_constants(q)
+        psi = primes.root_of_unity(2 * n, q)
+        ipsi = pow(psi, -1, q)
+        pw = np.empty(n, np.uint64)
+        ipw = np.empty(n, np.uint64)
+        cur, icur = 1, 1
+        for j in range(n):
+            pw[j] = cur
+            ipw[j] = icur
+            cur = cur * psi % q
+            icur = icur * ipsi % q
+        q_arr[i, 0] = q
+        qi_arr[i, 0] = qinv_neg
+        r2_arr[i, 0] = r2
+        psi_t[i] = modular.to_mont_host(pw[rev], q)
+        ipsi_t[i] = modular.to_mont_host(ipw[rev], q)
+        ninv_t[i, 0] = modular.to_mont_host(np.uint64(pow(n, -1, q)), q)
+    return NttTables(
+        q=jnp.asarray(q_arr),
+        qinv_neg=jnp.asarray(qi_arr),
+        r2=jnp.asarray(r2_arr),
+        psi_br=jnp.asarray(psi_t),
+        ipsi_br=jnp.asarray(ipsi_t),
+        ninv=jnp.asarray(ninv_t),
+    )
+
+
+@jax.jit
+def ntt_fwd(x: jnp.ndarray, tb: NttTables) -> jnp.ndarray:
+    """Forward negacyclic NTT, natural -> bit-reversed order.
+
+    x: u32 [..., k, N] in standard domain; returns same shape/domain.
+    (Longa-Naehrig Algorithm 1 structure, CT butterflies, merged psi.)
+    """
+    *lead, k, n = x.shape
+    t = n
+    m = 1
+    q = tb.q[..., None]  # [k,1,1]
+    qi = tb.qinv_neg[..., None]
+    while m < n:
+        t //= 2
+        xv = x.reshape(*lead, k, m, 2, t)
+        s = tb.psi_br[:, m : 2 * m].reshape(k, m, 1)
+        u = xv[..., 0, :]
+        v = modular.mont_mul(xv[..., 1, :], s, q, qi)
+        x = jnp.stack(
+            [modular.add_mod(u, v, q), modular.sub_mod(u, v, q)], axis=-2
+        ).reshape(*lead, k, n)
+        m *= 2
+    return x
+
+
+@jax.jit
+def ntt_inv(x: jnp.ndarray, tb: NttTables) -> jnp.ndarray:
+    """Inverse negacyclic NTT, bit-reversed -> natural order (GS butterflies)."""
+    *lead, k, n = x.shape
+    t = 1
+    m = n
+    q = tb.q[..., None]
+    qi = tb.qinv_neg[..., None]
+    while m > 1:
+        h = m // 2
+        xv = x.reshape(*lead, k, h, 2, t)
+        s = tb.ipsi_br[:, h : 2 * h].reshape(k, h, 1)
+        u = xv[..., 0, :]
+        v = xv[..., 1, :]
+        x = jnp.stack(
+            [
+                modular.add_mod(u, v, q),
+                modular.mont_mul(modular.sub_mod(u, v, q), s, q, qi),
+            ],
+            axis=-2,
+        ).reshape(*lead, k, n)
+        t *= 2
+        m = h
+    return modular.mont_mul(x, tb.ninv, tb.q, tb.qinv_neg)
+
+
+def pointwise_mont(a: jnp.ndarray, b_mont: jnp.ndarray, tb: NttTables) -> jnp.ndarray:
+    """Pointwise a*b where b is already in Montgomery domain."""
+    return modular.mont_mul(a, b_mont, tb.q, tb.qinv_neg)
+
+
+def to_mont(a: jnp.ndarray, tb: NttTables) -> jnp.ndarray:
+    return modular.mont_mul(a, tb.r2, tb.q, tb.qinv_neg)
+
+
+@jax.jit
+def negacyclic_mul(a: jnp.ndarray, b: jnp.ndarray, tb: NttTables) -> jnp.ndarray:
+    """Full negacyclic polynomial product (both inputs standard domain, coeff order)."""
+    fa = ntt_fwd(a, tb)
+    fb = ntt_fwd(to_mont(b, tb), tb)
+    return ntt_inv(pointwise_mont(fa, fb, tb), tb)
+
+
+# ------------------------------------------------------------------
+# Host golden model (numpy, schoolbook negacyclic convolution)
+# ------------------------------------------------------------------
+
+
+def negacyclic_mul_host(a: np.ndarray, b: np.ndarray, q: int) -> np.ndarray:
+    """O(N^2) reference negacyclic product mod q for cross-validation."""
+    n = a.shape[-1]
+    a = np.asarray(a, np.uint64)
+    b = np.asarray(b, np.uint64)
+    res = np.zeros(n, dtype=object)
+    ai = [int(v) for v in a]
+    bi = [int(v) for v in b]
+    for i in range(n):
+        s = 0
+        for j in range(i + 1):
+            s += ai[j] * bi[i - j]
+        for j in range(i + 1, n):
+            s -= ai[j] * bi[n + i - j]
+        res[i] = s % q
+    return res.astype(np.uint64)

@@ -3,13 +3,21 @@
 Multi-chip TPU hardware is not available in CI; sharding correctness is
 validated on XLA's host-platform virtual devices (the driver separately
 dry-run-compiles the multi-chip path via __graft_entry__.dryrun_multichip).
+
+Note: the environment's sitecustomize imports jax and points it at a remote
+TPU tunnel (JAX_PLATFORMS=axon) before conftest runs, so plain env mutation
+is too late — use jax.config.update instead.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
