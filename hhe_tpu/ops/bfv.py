@@ -1,0 +1,420 @@
+"""BFV (RNS) context, keys, encoder, encryption and decryption.
+
+TPU-native re-design of SEAL 4.0's BFV stack (reference
+``libs/seal/include/SEAL-4.0/seal/{context,keygenerator,encryptor,decryptor,
+batchencoder}.h``):
+
+- Ciphertexts are u32 RNS tensors of shape ``[size, k, N]`` in **coefficient
+  domain** (SEAL's BFV convention); keys are stored in **NTT + Montgomery**
+  domain so hot-path pointwise products need no conversion.
+- The coefficient modulus is a chain of <2^31 NTT-friendly primes (see
+  ``hhe_tpu.ops.primes``) so all limb arithmetic fits 32-bit TPU lanes; one
+  extra 31-bit "special" prime backs hybrid key-switching, auxiliary bases
+  back the BEHZ ct x ct multiply (``hhe_tpu.ops.bfv_eval``).
+- Keygen / encrypt / decrypt run host-side (numpy u64 exact) — these are the
+  light party-side operations (Analyst/User); the Evaluator (CSP hot path) is
+  device-side jnp (``bfv_eval``).
+- The batch encoder reproduces SEAL's 2 x (N/2) row/column slot structure
+  (``seal/batchencoder.h``) so ``rotate_rows``/``rotate_columns`` semantics
+  match the reference exactly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import Dict, List, NamedTuple, Optional, Sequence, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from . import modular, ntt, primes, rns
+
+
+# ---------------------------------------------------------------------------
+# Parameters
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class BFVParams:
+    """HE parameters (reference ``configs/config.cpp:15-26``: t=65537, N=16384,
+    tc128 -> SEAL BFVDefault 438-bit chain; here 13x30-bit data primes ~390
+    usable bits, plus one 31-bit special prime — the same noise budget class)."""
+
+    n: int = 16384
+    t: int = 65537
+    data_limb_bits: int = 30
+    data_limbs: int = 13
+    seed: int = 0
+
+    def __post_init__(self):
+        assert self.n & (self.n - 1) == 0
+        assert (self.t - 1) % (2 * self.n) == 0, "t must be NTT-friendly for batching"
+
+
+class Ciphertext(NamedTuple):
+    """BFV ciphertext: u32 ``[size, k, N]`` coefficient-domain RNS tensor."""
+
+    data: jnp.ndarray
+
+    @property
+    def size(self) -> int:
+        return self.data.shape[0]
+
+
+class Plaintext(NamedTuple):
+    """Plaintext polynomial mod t: u32 ``[N]`` coefficient domain."""
+
+    data: np.ndarray
+
+
+class SecretKey(NamedTuple):
+    s_small: np.ndarray  # [N] int8 ternary coefficients
+    s_q: np.ndarray  # [k, N] u32 coeff domain (mod each data prime)
+
+
+class PublicKey(NamedTuple):
+    data: np.ndarray  # [2, k, N] u32 coeff domain
+
+
+class KSwitchKey(NamedTuple):
+    """Key-switch key: digits over data primes, each encrypting
+    P * u_j * target over base q ∪ {P} (hybrid key-switching).
+    Stored NTT + Montgomery for direct pointwise use."""
+
+    k0: jnp.ndarray  # [kd, k+1, N] u32 NTT Mont
+    k1: jnp.ndarray  # [kd, k+1, N] u32 NTT Mont
+
+
+# ---------------------------------------------------------------------------
+# Context
+# ---------------------------------------------------------------------------
+
+
+class Context:
+    """All precomputed material for one parameter set.
+
+    Replaces SEAL's ``SEALContext`` + ``RNSTool`` + ``NTTTables`` bundles.
+    """
+
+    def __init__(self, params: BFVParams = BFVParams()):
+        p = params
+        self.params = p
+        self.n, self.t = p.n, p.t
+        # --- prime selection (all distinct, all == 1 mod 2N) ---
+        self.q_moduli = primes.ntt_primes(p.n, p.data_limb_bits, p.data_limbs)
+        sp = primes.ntt_primes(p.n, 31, 1)
+        self.p_special = sp[0]
+        aux_count = p.data_limbs + 1
+        b_moduli = primes.ntt_primes(p.n, 31, aux_count + 2, skip=sp)
+        self.b_moduli = b_moduli[:aux_count]
+        self.m_sk = b_moduli[aux_count]
+        self.gamma = b_moduli[aux_count + 1]
+        self.m_tilde_bits = 16
+        self.m_tilde = 1 << self.m_tilde_bits
+
+        self.base_q = rns.RnsBase(self.q_moduli)
+        self.base_qp = rns.RnsBase(self.q_moduli + (self.p_special,))
+        self.base_bsk = rns.RnsBase(self.b_moduli + (self.m_sk,))
+        self.base_b = rns.RnsBase(self.b_moduli)
+        self.k = self.base_q.k
+        self.Q = self.base_q.Q
+
+        # sanity: BEHZ capacity — |tensor product| * t < prod(Bsk)/2
+        bound = self.n * self.Q * self.Q * self.t
+        assert self.base_bsk.Q * self.Q > 2 * bound, "aux base too small"
+
+        # --- NTT tables (device) and host tables ---
+        self.tb_q = ntt.build_tables(self.q_moduli, p.n)
+        self.tb_qp = ntt.build_tables(self.base_qp.moduli, p.n)
+        self.tb_bsk = ntt.build_tables(self.base_bsk.moduli, p.n)
+        self.tb_t_host = ntt.build_host_tables(self.t, p.n)
+
+        # --- encryption scaling: round(Q*m/t) = delta_i*m + fix(m) ---
+        self.delta_mod_q = np.array(
+            [(self.Q // self.t) % q for q in self.q_moduli], np.uint64
+        )
+        self.q_mod_t = self.Q % self.t
+
+        # --- key-switch constants ---
+        pq = self.base_qp.moduli
+        self.p_mod_q = np.array([self.p_special % q for q in self.q_moduli], np.uint64)
+        self.p_inv_mont = jnp.asarray(
+            np.array(
+                [
+                    modular.to_mont_host(
+                        np.uint64(pow(self.p_special, -1, q)), q
+                    )
+                    for q in self.q_moduli
+                ],
+                np.uint32,
+            ).reshape(self.k, 1)
+        )
+        self.p_half = self.p_special // 2
+        # unit_j mod each modulus of q ∪ P (for key generation, host)
+        self.unit_mod_qp = np.array(
+            [[u % m for m in pq] for u in self.base_q.unit], dtype=np.uint64
+        )  # [kd, k+1]
+
+        # --- galois / rotation caches ---
+        self._galois_perm_cache: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+
+        # --- batch encoder index map (SEAL seal/batchencoder.h semantics) ---
+        self._build_encoder_map()
+
+        # --- evaluator (device) constant bundle, built lazily ---
+        self._eval_consts = None
+
+        self.rng = np.random.default_rng(p.seed)
+
+    # ------------------------------------------------------------------
+    # Batch encoder
+    # ------------------------------------------------------------------
+
+    def _build_encoder_map(self):
+        n, m = self.n, 2 * self.n
+        logn = n.bit_length() - 1
+        rev = ntt.bit_reverse_indices(n)
+        idx_map = np.empty(n, np.int64)
+        pos = 1
+        for i in range(n // 2):
+            idx_map[i] = rev[(pos - 1) >> 1]
+            idx_map[i + n // 2] = rev[(m - pos - 1) >> 1]
+            pos = pos * 3 % m
+        self.encoder_map = idx_map
+
+    def encode(self, values) -> Plaintext:
+        """Slot values (len <= N, ints mod t; negatives allowed) -> plaintext."""
+        v = np.asarray(values, np.int64) % self.t
+        assert v.ndim == 1 and len(v) <= self.n
+        slots = np.zeros(self.n, np.uint64)
+        slots[self.encoder_map[: len(v)]] = v.astype(np.uint64)
+        poly = ntt.ntt_inv_host(slots, self.tb_t_host)
+        return Plaintext(poly.astype(np.uint32))
+
+    def decode(self, pt: Plaintext) -> np.ndarray:
+        slots = ntt.ntt_fwd_host(np.asarray(pt.data, np.uint64), self.tb_t_host)
+        return slots[self.encoder_map].astype(np.uint64)
+
+    def decode_signed(self, pt: Plaintext) -> np.ndarray:
+        v = self.decode(pt).astype(np.int64)
+        return np.where(v > self.t // 2, v - self.t, v)
+
+    # ------------------------------------------------------------------
+    # Sampling (host)
+    # ------------------------------------------------------------------
+
+    def _sample_ternary(self) -> np.ndarray:
+        return self.rng.integers(-1, 2, self.n, dtype=np.int64)
+
+    def _sample_cbd(self) -> np.ndarray:
+        """Centered binomial, sigma = sqrt(20/2) ~ 3.16 (SEAL sigma 3.2)."""
+        b = self.rng.integers(0, 2, (2, 20, self.n), dtype=np.int64)
+        return b[0].sum(0) - b[1].sum(0)
+
+    def _sample_uniform(self, moduli: Sequence[int]) -> np.ndarray:
+        return np.stack(
+            [self.rng.integers(0, q, self.n, dtype=np.int64) for q in moduli]
+        ).astype(np.uint64)
+
+    @staticmethod
+    def _small_to_rns(x: np.ndarray, moduli: Sequence[int]) -> np.ndarray:
+        """Signed small coefficients -> u64 [k, N] RNS."""
+        x = np.asarray(x, np.int64)
+        return np.stack([np.asarray(x % q, np.uint64) for q in moduli])
+
+    # ------------------------------------------------------------------
+    # Keygen (host; reference seal/keygenerator.h)
+    # ------------------------------------------------------------------
+
+    def keygen_secret(self) -> SecretKey:
+        s = self._sample_ternary()
+        return SecretKey(s.astype(np.int8), self._small_to_rns(s, self.q_moduli).astype(np.uint32))
+
+    def keygen_public(self, sk: SecretKey) -> PublicKey:
+        """pk = (-(a s + e), a) over base q, coefficient domain."""
+        a = self._sample_uniform(self.q_moduli)
+        e = self._sample_cbd()
+        s_rns = self._small_to_rns(sk.s_small, self.q_moduli)
+        e_rns = self._small_to_rns(e, self.q_moduli)
+        pk0 = np.empty_like(a)
+        for i, q in enumerate(self.q_moduli):
+            as_ = ntt.poly_mul_host(a[i], s_rns[i], q)
+            pk0[i] = (q - (as_ + e_rns[i]) % q) % q
+        return PublicKey(np.stack([pk0, a]).astype(np.uint32))
+
+    def _keyswitch_gen(self, sk: SecretKey, target_rns_qp: np.ndarray) -> KSwitchKey:
+        """KSK for target poly (u64 [k+1, N], coeff, mod q ∪ P):
+        key_j = (-(a_j s + e_j) + P * unit_j * target, a_j) over q ∪ P."""
+        pq = self.base_qp.moduli
+        kd = self.k
+        s_rns = self._small_to_rns(sk.s_small, pq)
+        k0 = np.zeros((kd, len(pq), self.n), np.uint64)
+        k1 = np.zeros_like(k0)
+        for j in range(kd):
+            a = self._sample_uniform(pq)
+            e = self._small_to_rns(self._sample_cbd(), pq)
+            for i, m in enumerate(pq):
+                as_ = ntt.poly_mul_host(a[i], s_rns[i], m)
+                body = (m - (as_ + e[i]) % m) % m
+                if i < kd:  # P*unit_j mod P == 0; only data limbs get payload
+                    factor = (self.p_special % m) * self.unit_mod_qp[j, i] % m
+                    body = (body + target_rns_qp[i] * factor) % m
+                k0[j, i] = body
+                k1[j, i] = a[i]
+        # store NTT + Montgomery domain (device)
+        def to_dev(x):
+            out = np.empty_like(x)
+            for i, m in enumerate(pq):
+                tb = ntt.build_host_tables(m, self.n)
+                out[:, i] = ntt.ntt_fwd_host(x[:, i], tb)
+                out[:, i] = (out[:, i] << np.uint64(32)) % np.uint64(m)
+            return jnp.asarray(out.astype(np.uint32))
+
+        return KSwitchKey(to_dev(k0), to_dev(k1))
+
+    def keygen_relin(self, sk: SecretKey) -> KSwitchKey:
+        """Relinearization key: target = s^2 (reference create_relin_keys)."""
+        pq = self.base_qp.moduli
+        s_rns = self._small_to_rns(sk.s_small, pq)
+        s2 = np.stack(
+            [ntt.poly_mul_host(s_rns[i], s_rns[i], m) for i, m in enumerate(pq)]
+        )
+        return self._keyswitch_gen(sk, s2)
+
+    def keygen_galois(self, sk: SecretKey, elts: Sequence[int]) -> Dict[int, KSwitchKey]:
+        """Galois keys: target = s(X^g) (reference create_galois_keys(indices))."""
+        pq = self.base_qp.moduli
+        out = {}
+        for g in elts:
+            src, sign = self.galois_perm(int(g))
+            sg = np.empty((len(pq), self.n), np.uint64)
+            s_rns = self._small_to_rns(sk.s_small, pq)
+            for i, m in enumerate(pq):
+                v = s_rns[i][src]
+                sg[i] = np.where(sign, (m - v) % m, v)
+            out[int(g)] = self._keyswitch_gen(sk, sg)
+        return out
+
+    # ------------------------------------------------------------------
+    # Galois utilities
+    # ------------------------------------------------------------------
+
+    def galois_perm(self, g: int) -> Tuple[np.ndarray, np.ndarray]:
+        """Coefficient permutation of x(X) -> x(X^g): returns (src, negate)
+        with out[j] = ± x[src[j]]."""
+        if g in self._galois_perm_cache:
+            return self._galois_perm_cache[g]
+        n, m = self.n, 2 * self.n
+        assert g % 2 == 1
+        src = np.empty(n, np.int64)
+        sign = np.empty(n, bool)
+        for i in range(n):
+            j = i * g % m
+            if j < n:
+                src[j] = i
+                sign[j] = False
+            else:
+                src[j - n] = i
+                sign[j - n] = True
+        self._galois_perm_cache[g] = (src, sign)
+        return src, sign
+
+    def galois_elt_from_step(self, step: int) -> int:
+        """SEAL convention (seal/util/galois.h): step 0 -> column swap (elt
+        2N-1); else row rotation by `step` slots (left for positive)."""
+        n, m = self.n, 2 * self.n
+        if step == 0:
+            return m - 1
+        return pow(3, step % (n // 2), m)
+
+    # ------------------------------------------------------------------
+    # Encryption / decryption (host)
+    # ------------------------------------------------------------------
+
+    def scale_plain(self, pt: Plaintext) -> np.ndarray:
+        """round(Q * m / t) in RNS: u64 [k, N] (SEAL's
+        multiply_add_plain_with_scaling_variant)."""
+        m = np.asarray(pt.data, np.uint64)
+        prod = (self.q_mod_t * m).astype(np.uint64)
+        fix = (prod + np.uint64((self.t + 1) // 2)) // np.uint64(self.t)
+        out = np.empty((self.k, self.n), np.uint64)
+        for i, q in enumerate(self.q_moduli):
+            out[i] = (self.delta_mod_q[i] * (m % q) + fix) % q
+        return out
+
+    def encrypt(self, pk: PublicKey, pt: Plaintext) -> Ciphertext:
+        """c = (pk0*u + e0 + round(Q m / t), pk1*u + e1)."""
+        u = self._small_to_rns(self._sample_ternary(), self.q_moduli)
+        e0 = self._small_to_rns(self._sample_cbd(), self.q_moduli)
+        e1 = self._small_to_rns(self._sample_cbd(), self.q_moduli)
+        pkd = np.asarray(pk.data, np.uint64)
+        dm = self.scale_plain(pt)
+        c = np.empty((2, self.k, self.n), np.uint64)
+        for i, q in enumerate(self.q_moduli):
+            c[0, i] = (ntt.poly_mul_host(pkd[0, i], u[i], q) + e0[i] + dm[i]) % q
+            c[1, i] = (ntt.poly_mul_host(pkd[1, i], u[i], q) + e1[i]) % q
+        return Ciphertext(jnp.asarray(c.astype(np.uint32)))
+
+    def _dot_with_sk(self, sk: SecretKey, ct: Ciphertext) -> np.ndarray:
+        """[c0 + c1 s + c2 s^2 + ...]_q, u64 [k, N] coeff domain (host)."""
+        c = np.asarray(ct.data, np.uint64)
+        size = c.shape[0]
+        s_rns = np.asarray(sk.s_q, np.uint64)
+        acc = c[0].copy()
+        for i, q in enumerate(self.q_moduli):
+            spow = s_rns[i]
+            for d in range(1, size):
+                acc[i] = (acc[i] + ntt.poly_mul_host(c[d, i], spow, q)) % q
+                if d + 1 < size:
+                    spow = ntt.poly_mul_host(spow, s_rns[i], q)
+        return acc
+
+    def decrypt(self, sk: SecretKey, ct: Ciphertext) -> Plaintext:
+        """m = [round(t/Q * [c(s)]_Q)]_t — exact host CRT scale-and-round
+        (SEAL decryptor.h / RNSTool::decrypt_scale_and_round semantics)."""
+        x = self._dot_with_sk(sk, ct)
+        xc = self.base_q.compose_centered(x)
+        num = xc * self.t
+        m = (num + (self.Q // 2)) // self.Q  # floor((tx + Q/2)/Q), exact round
+        return Plaintext((m % self.t).astype(np.uint64).astype(np.uint32))
+
+    def noise_budget(self, sk: SecretKey, ct: Ciphertext) -> int:
+        """Invariant noise budget in bits (SEAL Decryptor::invariant_noise_budget):
+        log2(Q / (2*||[t*c(s)]_Q||_inf))."""
+        x = self._dot_with_sk(sk, ct)
+        xi = self.base_q.compose(x)
+        r = (xi * self.t) % self.Q
+        half = self.Q // 2
+        r = np.where(r > half, self.Q - r, r)
+        mx = int(max(r.max(), 1))
+        return max(0, self.Q.bit_length() - 1 - mx.bit_length() - 1)
+
+    # ------------------------------------------------------------------
+    # Plaintext device preparation (for evaluator)
+    # ------------------------------------------------------------------
+
+    def plain_for_mul(self, pt: Plaintext) -> jnp.ndarray:
+        """Plaintext -> [k, N] NTT+Mont over base q for pointwise ct*pt."""
+        m = np.asarray(pt.data, np.uint64)
+        out = np.empty((self.k, self.n), np.uint64)
+        for i, q in enumerate(self.q_moduli):
+            tb = ntt.build_host_tables(q, self.n)
+            f = ntt.ntt_fwd_host(m % q, tb)
+            out[i] = (f << np.uint64(32)) % np.uint64(q)
+        return jnp.asarray(out.astype(np.uint32))
+
+    def plain_for_add(self, pt: Plaintext) -> jnp.ndarray:
+        """Plaintext -> [k, N] u32 coeff-domain round(Q m / t) for ct + pt."""
+        return jnp.asarray(self.scale_plain(pt).astype(np.uint32))
+
+
+@functools.lru_cache(maxsize=4)
+def default_context(n: int = 16384, seed: int = 0) -> Context:
+    if n >= 4096:
+        limbs = {4096: 4, 8192: 7, 16384: 13, 32768: 26}[n]
+    else:
+        limbs = 3
+    return Context(BFVParams(n=n, data_limbs=limbs, seed=seed))

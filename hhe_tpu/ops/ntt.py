@@ -160,6 +160,80 @@ def negacyclic_mul(a: jnp.ndarray, b: jnp.ndarray, tb: NttTables) -> jnp.ndarray
 
 
 # ------------------------------------------------------------------
+# Host (numpy u64) fast NTT — used by keygen/encrypt/decrypt which run
+# party-side on CPU; exact since all products are of values < 2^31.
+# ------------------------------------------------------------------
+
+
+class HostTables(NamedTuple):
+    q: int
+    psi_br: np.ndarray  # [N] u64, standard domain, bit-reversed powers
+    ipsi_br: np.ndarray
+    ninv: int
+
+
+@functools.lru_cache(maxsize=64)
+def build_host_tables(q: int, n: int) -> HostTables:
+    rev = bit_reverse_indices(n)
+    psi = primes.root_of_unity(2 * n, q)
+    ipsi = pow(psi, -1, q)
+    pw = np.empty(n, np.uint64)
+    ipw = np.empty(n, np.uint64)
+    cur, icur = 1, 1
+    for j in range(n):
+        pw[j] = cur
+        ipw[j] = icur
+        cur = cur * psi % q
+        icur = icur * ipsi % q
+    return HostTables(q, pw[rev].copy(), ipw[rev].copy(), pow(n, -1, q))
+
+
+def ntt_fwd_host(x: np.ndarray, tb: HostTables) -> np.ndarray:
+    """Forward negacyclic NTT on host, natural -> bit-reversed ([..., N] u64)."""
+    x = np.asarray(x, np.uint64) % np.uint64(tb.q)
+    *lead, n = x.shape
+    q = np.uint64(tb.q)
+    t, m = n, 1
+    while m < n:
+        t //= 2
+        xv = x.reshape(*lead, m, 2, t)
+        s = tb.psi_br[m : 2 * m].reshape(m, 1)
+        u = xv[..., 0, :]
+        v = (xv[..., 1, :] * s) % q
+        x = np.stack([(u + v) % q, (u + q - v) % q], axis=-2).reshape(*lead, n)
+        m *= 2
+    return x
+
+
+def ntt_inv_host(x: np.ndarray, tb: HostTables) -> np.ndarray:
+    """Inverse negacyclic NTT on host, bit-reversed -> natural."""
+    x = np.asarray(x, np.uint64)
+    *lead, n = x.shape
+    q = np.uint64(tb.q)
+    t, m = 1, n
+    while m > 1:
+        h = m // 2
+        xv = x.reshape(*lead, h, 2, t)
+        s = tb.ipsi_br[h : 2 * h].reshape(h, 1)
+        u = xv[..., 0, :]
+        v = xv[..., 1, :]
+        x = np.stack(
+            [(u + v) % q, ((u + q - v) % q * s) % q], axis=-2
+        ).reshape(*lead, n)
+        t *= 2
+        m = h
+    return (x * np.uint64(tb.ninv)) % q
+
+
+def poly_mul_host(a: np.ndarray, b: np.ndarray, q: int) -> np.ndarray:
+    """Negacyclic a*b mod q on host via NTT ([..., N])."""
+    tb = build_host_tables(q, a.shape[-1])
+    fa = ntt_fwd_host(a, tb)
+    fb = ntt_fwd_host(b, tb)
+    return ntt_inv_host((fa * fb) % np.uint64(q), tb)
+
+
+# ------------------------------------------------------------------
 # Host golden model (numpy, schoolbook negacyclic convolution)
 # ------------------------------------------------------------------
 

@@ -1,0 +1,123 @@
+"""BFV core tests: encode/encrypt/decrypt roundtrips, evaluator parity.
+
+Mirrors the reference's inline decrypt-and-compare checks
+(``tests/he_test.cpp``, ``src/examples/hhe_pktnn_examples.cpp`` self-checks)
+as real unit tests, on a small-but-real parameter set (N=2048).
+"""
+
+import numpy as np
+import pytest
+
+from hhe_tpu.ops import bfv, bfv_eval
+
+
+@pytest.fixture(scope="module")
+def ctx():
+    return bfv.Context(bfv.BFVParams(n=2048, data_limbs=4, seed=7))
+
+
+@pytest.fixture(scope="module")
+def keys(ctx):
+    sk = ctx.keygen_secret()
+    pk = ctx.keygen_public(sk)
+    return sk, pk
+
+
+def rand_slots(ctx, seed, lo=0, hi=None):
+    rng = np.random.default_rng(seed)
+    return rng.integers(lo, hi if hi is not None else ctx.t, ctx.n, dtype=np.int64)
+
+
+def test_encode_decode_roundtrip(ctx):
+    v = rand_slots(ctx, 1)
+    assert np.array_equal(ctx.decode(ctx.encode(v)), v.astype(np.uint64))
+
+
+def test_encrypt_decrypt(ctx, keys):
+    sk, pk = keys
+    v = rand_slots(ctx, 2)
+    ct = ctx.encrypt(pk, ctx.encode(v))
+    assert ctx.noise_budget(sk, ct) > 40
+    out = ctx.decode(ctx.decrypt(sk, ct))
+    assert np.array_equal(out, v.astype(np.uint64))
+
+
+def test_add_sub_negate(ctx, keys):
+    sk, pk = keys
+    a = rand_slots(ctx, 3)
+    b = rand_slots(ctx, 4)
+    ca = ctx.encrypt(pk, ctx.encode(a))
+    cb = ctx.encrypt(pk, ctx.encode(b))
+    assert np.array_equal(
+        ctx.decode(ctx.decrypt(sk, bfv_eval.add(ctx, ca, cb))), (a + b) % ctx.t
+    )
+    assert np.array_equal(
+        ctx.decode(ctx.decrypt(sk, bfv_eval.sub(ctx, ca, cb))), (a - b) % ctx.t
+    )
+    assert np.array_equal(
+        ctx.decode(ctx.decrypt(sk, bfv_eval.negate(ctx, ca))), (-a) % ctx.t
+    )
+
+
+def test_plain_ops(ctx, keys):
+    sk, pk = keys
+    a = rand_slots(ctx, 5)
+    b = rand_slots(ctx, 6)
+    ca = ctx.encrypt(pk, ctx.encode(a))
+    pb = ctx.encode(b)
+    assert np.array_equal(
+        ctx.decode(ctx.decrypt(sk, bfv_eval.add_plain(ctx, ca, ctx.plain_for_add(pb)))),
+        (a + b) % ctx.t,
+    )
+    prod = bfv_eval.multiply_plain(ctx, ca, ctx.plain_for_mul(pb))
+    assert np.array_equal(
+        ctx.decode(ctx.decrypt(sk, prod)), (a * b) % ctx.t
+    )
+
+
+def test_rotations(ctx, keys):
+    sk, pk = keys
+    elts = [ctx.galois_elt_from_step(s) for s in (1, -1, 5)] + [2 * ctx.n - 1]
+    gks = ctx.keygen_galois(sk, elts)
+    v = rand_slots(ctx, 7)
+    ct = ctx.encrypt(pk, ctx.encode(v))
+    half = ctx.n // 2
+    rows = v.reshape(2, half)
+    for step in (1, -1, 5):
+        out = ctx.decode(ctx.decrypt(sk, bfv_eval.rotate_rows(ctx, ct, step, gks)))
+        expect = np.roll(rows, -step, axis=1).reshape(-1)
+        assert np.array_equal(out, expect % ctx.t), f"step {step}"
+    out = ctx.decode(ctx.decrypt(sk, bfv_eval.rotate_columns(ctx, ct, gks)))
+    assert np.array_equal(out, rows[::-1].reshape(-1) % ctx.t)
+
+
+def test_multiply_relinearize_square(ctx, keys):
+    sk, pk = keys
+    rk = ctx.keygen_relin(sk)
+    a = rand_slots(ctx, 8)
+    b = rand_slots(ctx, 9)
+    ca = ctx.encrypt(pk, ctx.encode(a))
+    cb = ctx.encrypt(pk, ctx.encode(b))
+    prod = bfv_eval.multiply(ctx, ca, cb)
+    assert prod.size == 3
+    assert np.array_equal(
+        ctx.decode(ctx.decrypt(sk, prod)), (a * b) % ctx.t
+    )
+    rel = bfv_eval.relinearize(ctx, prod, rk)
+    assert rel.size == 2
+    assert ctx.noise_budget(sk, rel) > 0
+    assert np.array_equal(ctx.decode(ctx.decrypt(sk, rel)), (a * b) % ctx.t)
+    sq = bfv_eval.relinearize(ctx, bfv_eval.square(ctx, ca), rk)
+    assert np.array_equal(ctx.decode(ctx.decrypt(sk, sq)), (a * a) % ctx.t)
+
+
+def test_cube(ctx, keys):
+    sk, pk = keys
+    rk = ctx.keygen_relin(sk)
+    a = rand_slots(ctx, 10)
+    ca = ctx.encrypt(pk, ctx.encode(a))
+    cube = bfv_eval.exponentiate(ctx, ca, 3, rk)
+    assert ctx.noise_budget(sk, cube) > 0
+    assert np.array_equal(
+        ctx.decode(ctx.decrypt(sk, cube)), (a * a % ctx.t) * a % ctx.t
+    )
