@@ -1,0 +1,307 @@
+"""Integer-only neural network layer — the PocketNN equivalent, as JAX transforms.
+
+TPU-native re-design of the reference's vendored PocketNN
+(``libs/pocketnn/``): int32 tensors, C-style truncating division, functional
+layers + pure jitted train/eval steps instead of mutable ``pktmat`` objects.
+
+Semantics replicated exactly (needed for accuracy parity with the shipped
+quantized weights):
+
+- activations with their piecewise integer formulas and inverse-gradient
+  outputs (``libs/pocketnn/src/pktnn_actv.cpp:115-491``)
+- FC forward = x @ W + b then activation; weights clamped to [-127, 128]
+  (``libs/pocketnn/src/pktnn_fc.cpp:136-171``)
+- DFA backward: deltas = loss_delta @ B / grad_inv with a fixed random
+  feedback matrix, integer SGD update ``W += (x^T @ deltas) / (-lr_inv)``
+  with truncating division and clamping (``pktnn_fc.cpp:241-343``)
+- L2 / pocket-cross losses (``libs/pocketnn/src/pktnn_loss.cpp``)
+- integer sigmoids used by the HHE pipeline: ``simple_pocket_sigmoid``
+  (reference ``src/util/utils.cpp:56-76``) and ``int_sigmoid``
+  (``src/util/utils.h:94-100``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, List, NamedTuple, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+K_BIT = 8  # reference pktnn_consts.h:5
+PKT_MAX = 127
+PKT_MIN = -127
+SHRT_MAX = 32767
+INT_MAX = 2**31 - 1
+
+
+def div_trunc(a, b):
+    """C-style integer division (truncate toward zero); b may be array or int."""
+    return (jnp.sign(a) * (jnp.abs(a) // jnp.abs(b)) * jnp.sign(b)).astype(a.dtype)
+
+
+def div_trunc_np(a, b):
+    a = np.asarray(a, np.int64)
+    b = np.asarray(b, np.int64)
+    return np.sign(a) * (np.abs(a) // np.abs(b)) * np.sign(b)
+
+
+# ---------------------------------------------------------------------------
+# Activations: each returns (out, grad_inv), both int32
+# ---------------------------------------------------------------------------
+
+
+def _piecewise(x, joints, fns, grads, ymin, ymax):
+    out = jnp.full_like(x, ymin)
+    gi = jnp.full_like(x, grads[0])
+    conds = [x < j for j in joints]
+    # segments between joints
+    for i, fn in enumerate(fns):
+        seg = (~conds[i]) & conds[i + 1]
+        out = jnp.where(seg, fn(x), out)
+        gi = jnp.where(seg, grads[i + 1], gi)
+    top = ~conds[-1]
+    out = jnp.where(top, ymax, out)
+    gi = jnp.where(top, grads[-1], gi)
+    return out, gi
+
+
+_JOINTS = (-127, -74, -31, 32, 75, 128)
+_SLOPES_INV = (PKT_MAX, 8, 2, 1, 2, 8, PKT_MAX)
+
+
+def pocket_sigmoid(x, k=K_BIT, fan_in=0):
+    """Reference pktactv::pocketSigmoid (pktnn_actv.cpp:115-198)."""
+    xs = div_trunc(x, 1 << k)
+    fns = [
+        lambda v: div_trunc(v, 8) + 20,
+        lambda v: div_trunc(v, 2) + 48,
+        lambda v: v + 64,
+        lambda v: div_trunc(v, 2) + 80,
+        lambda v: div_trunc(v, 8) + 108,
+    ]
+    return _piecewise(xs, _JOINTS, fns, _SLOPES_INV, 1, PKT_MAX)
+
+
+def pocket_tanh(x, k=K_BIT, fan_in=1):
+    """Reference pktactv::pocketTanh (divisor includes the fan-in)."""
+    xs = div_trunc(x, (1 << k) * max(fan_in, 1))
+    fns = [
+        lambda v: div_trunc(v, 4) - 88,
+        lambda v: v - 32,
+        lambda v: 2 * v,
+        lambda v: v + 32,
+        lambda v: div_trunc(v, 4) + 88,
+    ]
+    return _piecewise(xs, _JOINTS, fns, _SLOPES_INV, PKT_MIN, PKT_MAX)
+
+
+def rescale(x, k=K_BIT, fan_in=0):
+    return div_trunc(x, 1 << k), jnp.ones_like(x)
+
+
+def pocket_relu8bit(x, k=K_BIT, fan_in=0):
+    out = jnp.clip(x, 0, PKT_MAX)
+    gi = jnp.where((x < 0) | (x > PKT_MAX), INT_MAX, 1).astype(x.dtype)
+    return out, gi
+
+
+def pocket_leakyrelu(x, k=K_BIT, fan_in=0):
+    mx = SHRT_MAX
+    out = jnp.where(x < 0, div_trunc(x, 5), x)
+    out = jnp.clip(out, -mx, mx)
+    gi = jnp.where((x < -mx) | (x >= mx), INT_MAX, jnp.where(x < 0, 5, 1)).astype(x.dtype)
+    return out, gi
+
+
+def plu(x, k=K_BIT, fan_in=0):
+    """PLU(x) = max[a(x+c)-c, min{a(x-c)+c, x}] with 1/a=10, c=1 (pktnn_actv.cpp plu)."""
+    c = 1
+    thres_max = div_trunc(x + c, 10) - c
+    thres_min = div_trunc(x - c, 10) + c
+    v = jnp.minimum(x, thres_min)
+    v = jnp.maximum(v, thres_max)
+    out = jnp.clip(v, PKT_MIN, PKT_MAX)
+    safe = jnp.where(v == 0, 1, v)
+    gi = jnp.where(
+        (v < PKT_MIN) | (v > PKT_MAX), PKT_MAX, div_trunc(x, safe)
+    ).astype(x.dtype)
+    return out, gi
+
+
+def as_is(x, k=K_BIT, fan_in=0):
+    return x, jnp.ones_like(x)
+
+
+def square(x, k=K_BIT, fan_in=0):
+    return x * x, 2 * x
+
+
+ACTIVATIONS = {
+    "pocket_sigmoid": pocket_sigmoid,
+    "pocket_tanh": pocket_tanh,
+    "rescale": rescale,
+    "pocket_relu8bit": pocket_relu8bit,
+    "pocket_leakyrelu": pocket_leakyrelu,
+    "plu": plu,
+    "as_is": as_is,
+    "square": square,
+}
+
+
+def simple_pocket_sigmoid(x):
+    """7-segment integer sigmoid used at analyst decrypt time
+    (reference src/util/utils.cpp:56-76). Works on ints or arrays."""
+    x = jnp.asarray(x, jnp.int32)
+    out, _ = _piecewise(
+        x,
+        _JOINTS,
+        [
+            lambda v: div_trunc(v, 8) + 20,
+            lambda v: div_trunc(v, 2) + 48,
+            lambda v: v + 64,
+            lambda v: div_trunc(v, 2) + 80,
+            lambda v: div_trunc(v, 8) + 108,
+        ],
+        _SLOPES_INV,
+        1,
+        PKT_MAX,
+    )
+    return out
+
+
+def int_sigmoid(x):
+    """Step function (reference src/util/utils.h:94-100)."""
+    return jnp.where(jnp.asarray(x) <= 0, 0, 1)
+
+
+# ---------------------------------------------------------------------------
+# Fully-connected layer (functional)
+# ---------------------------------------------------------------------------
+
+
+class FCParams(NamedTuple):
+    weight: jnp.ndarray  # [in, out] int32
+    bias: jnp.ndarray  # [1, out] int32
+    dfa: Optional[jnp.ndarray] = None  # [n_classes, out] int32 feedback
+
+
+@dataclasses.dataclass(frozen=True)
+class FCSpec:
+    in_dim: int
+    out_dim: int
+    actv: str = "pocket_tanh"
+    use_dfa: bool = True
+
+
+def fc_init(rng: np.random.Generator, spec: FCSpec, n_classes: int) -> FCParams:
+    w = jnp.zeros((spec.in_dim, spec.out_dim), jnp.int32)
+    b = jnp.zeros((1, spec.out_dim), jnp.int32)
+    dfa = None
+    if spec.use_dfa:
+        # He-style integer range (reference pktnn_fc.cpp:72-81)
+        rng_range = int(np.sqrt(12 * SHRT_MAX // (spec.in_dim + spec.out_dim)))
+        dfa = jnp.asarray(
+            rng.integers(-rng_range, rng_range + 1, (n_classes, spec.out_dim)),
+            jnp.int32,
+        )
+    return FCParams(w, b, dfa)
+
+
+def fc_forward(params: FCParams, x: jnp.ndarray, spec: FCSpec):
+    """out = actv(x @ W + b); returns (out, grad_inv). x int32 [B, in]."""
+    inter = x @ params.weight + params.bias
+    return ACTIVATIONS[spec.actv](inter, K_BIT, spec.in_dim)
+
+
+# ---------------------------------------------------------------------------
+# Losses (reference pktnn_loss.cpp)
+# ---------------------------------------------------------------------------
+
+
+def batch_l2_loss(y, y_hat):
+    d = y_hat - y
+    return jnp.sum(div_trunc(d * d, 2))
+
+
+def batch_l2_loss_delta(y, y_hat):
+    return y_hat - y
+
+
+# ---------------------------------------------------------------------------
+# DFA training step over a stack of FC layers
+# ---------------------------------------------------------------------------
+
+
+class MLP(NamedTuple):
+    params: Tuple[FCParams, ...]
+
+
+def mlp_init(seed: int, specs: Sequence[FCSpec]) -> Tuple[MLP, Tuple[FCSpec, ...]]:
+    rng = np.random.default_rng(seed)
+    n_classes = specs[-1].out_dim
+    return MLP(tuple(fc_init(rng, s, n_classes) for s in specs)), tuple(specs)
+
+
+def mlp_forward(model: MLP, specs, x):
+    """Returns (final_out, per-layer (out, grad_inv) caches)."""
+    caches = []
+    h = x
+    for p, s in zip(model.params, specs):
+        out, gi = fc_forward(p, h, s)
+        caches.append((h, out, gi))
+        h = out
+    return h, caches
+
+
+def dfa_train_step(
+    model: MLP, specs, x, y, lr_inv: int, lo: int = -127, hi: int = 128
+) -> Tuple[MLP, jnp.ndarray]:
+    """One integer-DFA minibatch update (reference pktfc::backward +
+    computeDeltas, pktnn_fc.cpp:180-343). x [B,in] int32, y [B,n_classes]."""
+    y_hat, caches = mlp_forward(model, specs, x)
+    loss_delta = batch_l2_loss_delta(y, y_hat)  # [B, n_classes]
+    new_params = []
+    n_layers = len(model.params)
+    for li, (p, s) in enumerate(zip(model.params, specs)):
+        x_in, _, gi = caches[li]
+        if li == n_layers - 1:
+            deltas = div_trunc(loss_delta, gi)
+        else:
+            deltas = div_trunc(loss_delta @ p.dfa, gi)
+        wu = div_trunc(x_in.T @ deltas, -lr_inv)
+        bu = div_trunc(
+            jnp.ones((1, x_in.shape[0]), jnp.int32) @ deltas, -lr_inv
+        )
+        new_params.append(
+            FCParams(
+                jnp.clip(p.weight + wu, lo, hi),
+                jnp.clip(p.bias + bu, lo, hi),
+                p.dfa,
+            )
+        )
+    loss = batch_l2_loss(y, y_hat)
+    return MLP(tuple(new_params)), loss
+
+
+# ---------------------------------------------------------------------------
+# Weight CSV IO (compatible with reference weights/ assets, matrix.h:134-159)
+# ---------------------------------------------------------------------------
+
+
+def read_csv_matrix(path) -> np.ndarray:
+    rows = []
+    with open(path) as f:
+        for line in f:
+            vals = [v for v in line.strip().split(",") if v.strip() != ""]
+            if vals:
+                rows.append([int(float(v)) for v in vals])
+    return np.asarray(rows, np.int64)
+
+
+def save_csv_matrix(path, mat: np.ndarray):
+    mat = np.asarray(mat)
+    with open(path, "w") as f:
+        for row in np.atleast_2d(mat):
+            f.write(",".join(str(int(v)) for v in row) + ",\n")

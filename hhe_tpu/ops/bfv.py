@@ -194,6 +194,14 @@ class Context:
         poly = ntt.ntt_inv_host(slots, self.tb_t_host)
         return Plaintext(poly.astype(np.uint32))
 
+    def encode_batch(self, values: np.ndarray) -> np.ndarray:
+        """[B, L<=N] slot values -> [B, N] plaintext polys (vectorized host NTT)."""
+        v = np.asarray(values, np.int64) % self.t
+        b, l = v.shape
+        slots = np.zeros((b, self.n), np.uint64)
+        slots[:, self.encoder_map[:l]] = v.astype(np.uint64)
+        return ntt.ntt_inv_host(slots, self.tb_t_host).astype(np.uint32)
+
     def decode(self, pt: Plaintext) -> np.ndarray:
         slots = ntt.ntt_fwd_host(np.asarray(pt.data, np.uint64), self.tb_t_host)
         return slots[self.encoder_map].astype(np.uint64)
@@ -409,6 +417,26 @@ class Context:
     def plain_for_add(self, pt: Plaintext) -> jnp.ndarray:
         """Plaintext -> [k, N] u32 coeff-domain round(Q m / t) for ct + pt."""
         return jnp.asarray(self.scale_plain(pt).astype(np.uint32))
+
+    def plain_for_mul_batch(self, polys: np.ndarray) -> jnp.ndarray:
+        """[..., N] plaintext polys mod t -> [..., k, N] NTT+Mont device tensor."""
+        m = np.asarray(polys, np.uint64)
+        out = np.empty(m.shape[:-1] + (self.k, self.n), np.uint64)
+        for i, q in enumerate(self.q_moduli):
+            tb = ntt.build_host_tables(q, self.n)
+            f = ntt.ntt_fwd_host(m % q, tb)
+            out[..., i, :] = (f << np.uint64(32)) % np.uint64(q)
+        return jnp.asarray(out.astype(np.uint32))
+
+    def plain_for_add_batch(self, polys: np.ndarray) -> jnp.ndarray:
+        """[..., N] plaintext polys mod t -> [..., k, N] scaled round(Q m / t)."""
+        m = np.asarray(polys, np.uint64)
+        prod = (self.q_mod_t * m).astype(np.uint64)
+        fix = (prod + np.uint64((self.t + 1) // 2)) // np.uint64(self.t)
+        out = np.empty(m.shape[:-1] + (self.k, self.n), np.uint64)
+        for i, q in enumerate(self.q_moduli):
+            out[..., i, :] = (self.delta_mod_q[i] * (m % q) + fix) % q
+        return jnp.asarray(out.astype(np.uint32))
 
 
 @functools.lru_cache(maxsize=4)

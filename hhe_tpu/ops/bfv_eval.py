@@ -171,24 +171,24 @@ def keyswitch(ctx: Context, poly_q: jnp.ndarray, ksk: KSwitchKey) -> Tuple[jnp.n
     pq = ctx.tb_qp.q  # [k+1,1]
     # RNS digit decomposition: digit j broadcast to all moduli of q ∪ P
     digs = jnp.stack(
-        [reduce_u32(poly_q[j][None, :], pq) for j in range(k)]
-    )  # [k, k+1, N]
+        [reduce_u32(poly_q[..., j : j + 1, :], pq) for j in range(k)], axis=-3
+    )  # [..., k, k+1, N]
     fd = ntt.ntt_fwd(digs, ctx.tb_qp)
     qp, qpi = ctx.tb_qp.q, ctx.tb_qp.qinv_neg
     acc0 = acc1 = None
     for j in range(k):
-        t0 = mont_mul(fd[j], ksk.k0[j], qp, qpi)
-        t1 = mont_mul(fd[j], ksk.k1[j], qp, qpi)
+        t0 = mont_mul(fd[..., j, :, :], ksk.k0[j], qp, qpi)
+        t1 = mont_mul(fd[..., j, :, :], ksk.k1[j], qp, qpi)
         acc0 = t0 if acc0 is None else add_mod(acc0, t0, qp)
         acc1 = t1 if acc1 is None else add_mod(acc1, t1, qp)
     c0 = ntt.ntt_inv(acc0, ctx.tb_qp)
     c1 = ntt.ntt_inv(acc1, ctx.tb_qp)
 
     def mod_down(c):
-        xp = c[-1]  # [N] mod P
-        a1 = reduce_u32(xp[None, :], ec.q)  # [k,N]
-        fix = jnp.where(xp[None, :] > ec.p_half, sub_mod(a1, ec.p_mod_q, ec.q), a1)
-        return mont_mul(sub_mod(c[:-1], fix, ec.q), ec.p_inv_mont, ec.q, ec.qi)
+        xp = c[..., -1:, :]  # [..., 1, N] mod P
+        a1 = reduce_u32(xp, ec.q)  # [..., k, N]
+        fix = jnp.where(xp > ec.p_half, sub_mod(a1, ec.p_mod_q, ec.q), a1)
+        return mont_mul(sub_mod(c[..., :-1, :], fix, ec.q), ec.p_inv_mont, ec.q, ec.qi)
 
     return mod_down(c0), mod_down(c1)
 
@@ -200,7 +200,7 @@ def apply_galois(ctx: Context, ct: Ciphertext, g: int, gk: KSwitchKey) -> Cipher
     src, sign = ctx.galois_perm(g)
     q = ctx.tb_q.q
     perm = jnp.take(ct.data, jnp.asarray(src), axis=-1)
-    perm = jnp.where(jnp.asarray(sign)[None, None, :], neg_mod(perm, q), perm)
+    perm = jnp.where(jnp.asarray(sign), neg_mod(perm, q), perm)
     d0, d1 = keyswitch(ctx, perm[1], gk)
     return Ciphertext(jnp.stack([add_mod(perm[0], d0, q), d1]))
 

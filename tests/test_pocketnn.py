@@ -1,0 +1,95 @@
+"""Integer NN (PocketNN-equivalent) semantics tests."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from hhe_tpu.models import pocketnn as pk
+
+
+def test_div_trunc_matches_c():
+    a = jnp.asarray([-7, -5, -1, 0, 1, 5, 7], jnp.int32)
+    # C: -7/2 == -3 (truncation toward zero), numpy // would give -4
+    got = np.asarray(pk.div_trunc(a, 2))
+    assert got.tolist() == [-3, -2, 0, 0, 0, 2, 3]
+    got = np.asarray(pk.div_trunc(a, -2))
+    assert got.tolist() == [3, 2, 0, 0, 0, -2, -3]
+
+
+def test_pocket_sigmoid_values():
+    # x/(2^8) then piecewise (pktnn_actv.cpp comments)
+    x = jnp.asarray([-200 * 256, -100 * 256, -50 * 256, 0, 10 * 256, 50 * 256, 100 * 256, 200 * 256])
+    out, gi = pk.pocket_sigmoid(x)
+    # segments: <-127 -> 1; -100/8+20=8 (trunc -12+20); -50/2+48=23; 0+64;
+    # 10+64=74; 50/2+80=105; 100/8+108=120 (12+108); >=128 -> 127
+    assert np.asarray(out).tolist() == [1, 8, 23, 64, 74, 105, 120, 127]
+    assert np.asarray(gi).tolist() == [127, 8, 2, 1, 1, 2, 8, 127]
+
+
+def test_pocket_tanh_fan_in():
+    # divisor = 256 * fan_in
+    x = jnp.asarray([256 * 4 * 10])
+    out, _ = pk.pocket_tanh(x, fan_in=4)
+    assert np.asarray(out).tolist() == [2 * 10]
+
+
+def test_simple_pocket_sigmoid_and_int_sigmoid():
+    xs = [-200, -100, -50, 0, 10, 50, 100, 200]
+    got = [int(pk.simple_pocket_sigmoid(x)) for x in xs]
+    assert got == [1, 8, 23, 64, 74, 105, 120, 127]
+    assert [int(pk.int_sigmoid(x)) for x in (-5, 0, 3)] == [0, 0, 1]
+
+
+def test_square_activation():
+    out, gi = pk.square(jnp.asarray([-3, 0, 5]))
+    assert np.asarray(out).tolist() == [9, 0, 25]
+    assert np.asarray(gi).tolist() == [-6, 0, 10]
+
+
+def test_dfa_training_learns():
+    """Integer DFA on a linearly separable toy problem reduces loss and fits
+    (reference fc_int_bp_simple / fc_int_dfa_* training loops)."""
+    rng = np.random.default_rng(0)
+    n, d = 128, 16
+    x = rng.integers(-40, 40, (n, d)).astype(np.int32)
+    w_true = rng.integers(-3, 4, (d, 1)).astype(np.int32)
+    labels = (x @ w_true > 0).astype(np.int32)
+    y = labels * 128  # match reference label scaling (labels * 128)
+
+    specs = [pk.FCSpec(d, 1, "pocket_sigmoid", use_dfa=True)]
+    model, specs = pk.mlp_init(1, specs)
+    xj, yj = jnp.asarray(x), jnp.asarray(y)
+    first_loss = last_loss = None
+    for epoch in range(20):
+        total = 0.0
+        for i in range(0, n, 4):  # minibatch 4, reference config.cpp:30
+            model, loss = pk.dfa_train_step(model, specs, xj[i : i + 4], yj[i : i + 4], lr_inv=50)
+            total += float(loss)
+        if first_loss is None:
+            first_loss = total
+        last_loss = total
+    out, _ = pk.mlp_forward(model, specs, xj)
+    acc = float(np.mean((np.asarray(out)[:, 0] > 64) == (labels[:, 0] > 0)))
+    assert last_loss < first_loss
+    assert acc > 0.8, acc
+
+
+def test_csv_roundtrip(tmp_path):
+    m = np.array([[1, -2, 3], [4, 5, -6]])
+    p = tmp_path / "w.csv"
+    pk.save_csv_matrix(p, m)
+    assert np.array_equal(pk.read_csv_matrix(p), m)
+
+
+def test_reference_weight_loading():
+    """Shipped quantized SpO2 weights load with the expected shape
+    (reference weights/SpO2/qat/..., config.cpp:66)."""
+    import pathlib
+
+    ref = pathlib.Path("/root/reference/weights/SpO2/qat/quant_fc_5bits_data_2bits_weights.csv")
+    if not ref.exists():
+        import pytest
+
+        pytest.skip("reference assets unavailable")
+    w = pk.read_csv_matrix(ref)
+    assert w.shape == (300, 1)
+    assert w.min() >= -127 and w.max() <= 128
