@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""Headline benchmark: PASTA->BFV transcipher throughput on production params.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The unit of work is one homomorphic PASTA-3 keystream-block evaluation
+(= transciphering one 128-word sample, e.g. one ECG record) at the
+reference's production parameters (BFV N=16384, t=65537 — reference
+``configs/config.cpp:15-21``): 4 packed diagonal matmuls (127 rotations
+each), 2 feistel squares, 1 cube, all under encryption.
+
+vs_baseline compares against the reference C++ (SEAL 4.0, single-threaded)
+decomposition time for the same block, measured locally when available
+(see BASELINE.md); BASELINE_BLOCK_S holds the measured value.
+"""
+
+import json
+import os
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Reference C++ (SEAL, this machine's CPU, single thread) seconds per
+# decomposition block; measured via tools/ref_bench (see BASELINE.md).
+BASELINE_BLOCK_S = float(os.environ.get("HHE_BASELINE_BLOCK_S", "0") or 0)
+
+CACHE = pathlib.Path(__file__).resolve().parent / ".bench_cache"
+
+
+def _get_stack(n, limbs):
+    from hhe_tpu.ops import bfv, transcipher
+
+    ctx = bfv.Context(bfv.BFVParams(n=n, data_limbs=limbs, seed=1))
+    cache_f = CACHE / f"keys_n{n}_k{limbs}.npz"
+    elt_list = transcipher.galois_elts(ctx)
+    if cache_f.exists():
+        z = np.load(cache_f)
+        import jax.numpy as jnp
+
+        sk = bfv.SecretKey(z["sk_small"], z["sk_q"])
+        pk = bfv.PublicKey(z["pk"])
+        rk = bfv.KSwitchKey(jnp.asarray(z["rk0"]), jnp.asarray(z["rk1"]))
+        gks = {
+            int(g): bfv.KSwitchKey(jnp.asarray(z[f"g{g}_0"]), jnp.asarray(z[f"g{g}_1"]))
+            for g in z["elts"]
+        }
+    else:
+        sk = ctx.keygen_secret()
+        pk = ctx.keygen_public(sk)
+        rk = ctx.keygen_relin(sk)
+        gks = ctx.keygen_galois(sk, elt_list)
+        CACHE.mkdir(exist_ok=True)
+        save = {
+            "sk_small": sk.s_small,
+            "sk_q": sk.s_q,
+            "pk": pk.data,
+            "rk0": np.asarray(rk.k0),
+            "rk1": np.asarray(rk.k1),
+            "elts": np.asarray(sorted(gks)),
+        }
+        for g, kk in gks.items():
+            save[f"g{g}_0"] = np.asarray(kk.k0)
+            save[f"g{g}_1"] = np.asarray(kk.k1)
+        np.savez(cache_f, **save)
+    tc = transcipher.Transcipher(ctx, rk, gks)
+    return ctx, sk, pk, tc
+
+
+def main():
+    n = int(os.environ.get("BENCH_N", "16384"))
+    limbs = {4096: 4, 8192: 7, 16384: 13}.get(n, 13)
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+
+    import jax
+
+    from hhe_tpu.ops import pasta
+
+    t0 = time.time()
+    ctx, sk, pk, tc = _get_stack(n, limbs)
+    key = pasta.get_fixed_symmetric_key()
+    enc_key = tc.encrypt_key(pk, key)
+    mats_pt, rcs_pt = tc.block_plaintexts(pasta.NONCE, 0)
+    setup_s = time.time() - t0
+
+    # warmup / compile
+    t0 = time.time()
+    out = tc._jit_keystream(enc_key.data, mats_pt, rcs_pt)
+    jax.block_until_ready(out)
+    compile_s = time.time() - t0
+
+    t0 = time.time()
+    for _ in range(reps):
+        out = tc._jit_keystream(enc_key.data, mats_pt, rcs_pt)
+    jax.block_until_ready(out)
+    per_block = (time.time() - t0) / reps
+
+    value = 1.0 / per_block
+    vs = value * BASELINE_BLOCK_S if BASELINE_BLOCK_S > 0 else 0.0
+    print(
+        json.dumps(
+            {
+                "metric": "pasta_bfv_transcipher_samples_per_s",
+                "value": round(value, 4),
+                "unit": "samples/s",
+                "vs_baseline": round(vs, 3),
+                "detail": {
+                    "n": n,
+                    "limbs": limbs,
+                    "block_ms": round(per_block * 1e3, 2),
+                    "setup_s": round(setup_s, 1),
+                    "compile_s": round(compile_s, 1),
+                    "device": str(jax.devices()[0]),
+                    "baseline_block_s": BASELINE_BLOCK_S,
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -22,6 +22,7 @@ from __future__ import annotations
 from typing import Dict, NamedTuple, Tuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from . import modular, ntt, rns
@@ -76,6 +77,13 @@ def _mont_col(vals, moduli) -> jnp.ndarray:
 def eval_consts(ctx: Context) -> EvalConsts:
     if ctx._eval_consts is not None:
         return ctx._eval_consts
+    # May be reached first from inside a jit trace; constants must be built
+    # concretely (not as tracers) since they are cached on the context.
+    with jax.ensure_compile_time_eval():
+        return _build_eval_consts(ctx)
+
+
+def _build_eval_consts(ctx: Context) -> EvalConsts:
     q_mods = ctx.q_moduli
     bsk_mods = ctx.base_bsk.moduli
     Q = ctx.Q

@@ -1,0 +1,222 @@
+"""Single-process HHE protocol simulations — end-to-end encrypted inference.
+
+TPU-native equivalent of the reference's workload layer
+(``src/examples/hhe_pktnn_examples.{h,cpp}``): the three parties (Analyst,
+Client/User, CSP) simulated in one process, matching the reference pipelines:
+
+- ``ecg_inference``   — per-sample 1-block transcipher + encrypted weight
+  product; the analyst decrypts, sums slots host-side, applies
+  ``simple_pocket_sigmoid`` and thresholds at 64
+  (reference ``hhe_pktnn_examples.cpp:63-383``).
+- ``fc1_inference``   — long inputs (e.g. SpO2 300): transcipher + mask +
+  flatten + encrypted product + encrypted rotate-reduce sum; the analyst
+  reads slot inputLen-1 and applies ``int_sigmoid``
+  (reference ``hhe_pktnn_examples.cpp:385-711``), with the plaintext-parity
+  hard check.
+
+TPU-first: samples are batched through the transcipher (keystream reuse +
+batched negate/add), and the encrypted FC product+reduce runs on the whole
+batch at once.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..models import pocketnn
+from ..ops import bfv, bfv_eval, helin, pasta, transcipher
+from ..ops.bfv import BFVParams, Ciphertext, Context
+
+
+@dataclasses.dataclass
+class HHEStack:
+    """Bundled parameter set + party keys for single-process simulations."""
+
+    ctx: Context
+    sk: bfv.SecretKey
+    pk: bfv.PublicKey
+    rk: bfv.KSwitchKey
+    gks: Dict[int, bfv.KSwitchKey]
+    tc: transcipher.Transcipher
+
+
+def build_stack(params: Optional[BFVParams] = None, input_len: int = 300) -> HHEStack:
+    """Analyst-side setup: context + all keys the protocol needs (reference
+    Analyst::generateHEKeys, Analyst.cpp:70-94,234-249)."""
+    ctx = Context(params or BFVParams())
+    sk = ctx.keygen_secret()
+    pk = ctx.keygen_public(sk)
+    rk = ctx.keygen_relin(sk)
+    num_blocks = math.ceil(input_len / transcipher.T)
+    elts = set(transcipher.galois_elts(ctx))
+    elts.update(helin.flatten_galois_elts(ctx, num_blocks, transcipher.T))
+    elts.update(helin.vec_sum_galois_elts(ctx))
+    gks = ctx.keygen_galois(sk, sorted(elts))
+    tc = transcipher.Transcipher(ctx, rk, gks)
+    return HHEStack(ctx, sk, pk, rk, gks, tc)
+
+
+# ---------------------------------------------------------------------------
+# CSP-side pipeline
+# ---------------------------------------------------------------------------
+
+
+def csp_decompose(
+    stack: HHEStack, enc_key: Ciphertext, sym_data: np.ndarray
+) -> Ciphertext:
+    """Transcipher + postprocess (mask tail, flatten) for a batch [B, L]
+    (reference CSP::decompose, CSP.cpp:235-283). Returns batched ct
+    [2, B, k, N] holding each sample in slots [0, L)."""
+    ctx = stack.ctx
+    sym_data = np.atleast_2d(np.asarray(sym_data, np.uint64))
+    L = sym_data.shape[1]
+    blocks = stack.tc.decompose(enc_key, sym_data)
+    tail = L % transcipher.T
+    if tail != 0:
+        blocks[-1] = helin.mask(ctx, blocks[-1], helin.make_mask(ctx, tail))
+    if len(blocks) == 1:
+        return blocks[0]
+    return helin.flatten(ctx, blocks, stack.gks, transcipher.T)
+
+
+def csp_eval_1fc(
+    stack: HHEStack, data_ct: Ciphertext, weight_ct: Ciphertext, do_sum: bool
+) -> Ciphertext:
+    """Encrypted FC: data * weight (ct x ct), relinearize, optional
+    rotate-reduce sum (reference CSP_hhe_pktnn_1fc::evaluateModel,
+    CSP.cpp:288-323; log-depth sum replaces the naive 299-rotation loop)."""
+    ctx = stack.ctx
+    prod = bfv_eval.relinearize(ctx, bfv_eval.multiply(ctx, data_ct, weight_ct), stack.rk)
+    if do_sum:
+        prod = helin.encrypted_vec_sum_log(ctx, prod, stack.gks)
+    return prod
+
+
+# ---------------------------------------------------------------------------
+# Analyst-side decryption
+# ---------------------------------------------------------------------------
+
+
+def _split_batch(ct: Ciphertext) -> List[Ciphertext]:
+    data = np.asarray(ct.data)
+    if data.ndim == 3:
+        return [Ciphertext(jnp.asarray(data))]
+    return [Ciphertext(jnp.asarray(data[:, i])) for i in range(data.shape[1])]
+
+
+def analyst_decrypt_sum_sigmoid(
+    stack: HHEStack, result_ct: Ciphertext, length: int
+) -> np.ndarray:
+    """ECG pipeline: decrypt, host-sum `length` slots, simple_pocket_sigmoid,
+    threshold > 64 -> prediction in {0, 128} (hhe_pktnn_examples.cpp:305-335)."""
+    preds = []
+    for ct in _split_batch(result_ct):
+        dec = stack.ctx.decode_signed(stack.ctx.decrypt(stack.sk, ct))[:length]
+        s = int(dec.sum())
+        out = int(pocketnn.simple_pocket_sigmoid(s))
+        preds.append(128 if out > 64 else 0)
+    return np.asarray(preds)
+
+
+def analyst_decrypt_slot_sigmoid(
+    stack: HHEStack, result_ct: Ciphertext, input_len: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """SpO2/1fc pipeline: decrypt, read slot input_len-1, int_sigmoid
+    (reference Analyst::decryptData, Analyst.cpp:352-381).
+    Returns (raw fc outputs, predictions)."""
+    raws, preds = [], []
+    for ct in _split_batch(result_ct):
+        dec = stack.ctx.decode_signed(stack.ctx.decrypt(stack.sk, ct))
+        v = int(dec[input_len - 1])
+        raws.append(v)
+        preds.append(int(pocketnn.int_sigmoid(v)))
+    return np.asarray(raws), np.asarray(preds)
+
+
+# ---------------------------------------------------------------------------
+# Full protocol simulations
+# ---------------------------------------------------------------------------
+
+
+def hhe_1fc_inference(
+    stack: HHEStack,
+    weight: np.ndarray,
+    samples: np.ndarray,
+    check_parity: bool = True,
+) -> Dict[str, np.ndarray]:
+    """Full SpO2-style pipeline on a batch: PASTA encrypt -> transcipher ->
+    mask/flatten -> encrypted FC + sum -> decrypt slot -> int_sigmoid.
+
+    weight: [L] or [L, 1] signed ints; samples: [B, L] uint.
+    With check_parity, raises if HHE output != plaintext w . x
+    (the reference's hard failure, hhe_pktnn_examples.cpp:692-699)."""
+    ctx = stack.ctx
+    w = np.asarray(weight, np.int64).reshape(-1)
+    samples = np.atleast_2d(np.asarray(samples, np.uint64))
+    B, L = samples.shape
+    assert w.shape == (L,)
+
+    # User: symmetric encryption + HE key encryption
+    key = pasta.get_fixed_symmetric_key()
+    cipher = pasta.Pasta(key, ctx.t)
+    sym = cipher.encrypt(samples)
+    enc_key = stack.tc.encrypt_key(stack.pk, key)
+
+    # Analyst: model encryption (transposed row -> one ct)
+    weight_ct = helin.encrypt_weight(ctx, stack.pk, w[None, :])[0]
+
+    # CSP: transcipher + evaluate
+    data_ct = csp_decompose(stack, enc_key, sym)
+    wct = Ciphertext(
+        weight_ct.data[:, None] if np.asarray(data_ct.data).ndim == 4 else weight_ct.data
+    )
+    result = csp_eval_1fc(stack, data_ct, wct, do_sum=True)
+
+    # Analyst: decrypt
+    raw, preds = analyst_decrypt_slot_sigmoid(stack, result, L)
+
+    if check_parity:
+        expect = (samples.astype(np.int64) @ w).astype(np.int64)
+        if not np.array_equal(raw, expect):
+            raise RuntimeError(
+                "FC layer's plaintext results and HHE results are different: "
+                f"{raw} vs {expect}"
+            )
+    return {"raw": raw, "predictions": preds}
+
+
+def hhe_ecg_inference(
+    stack: HHEStack,
+    weight: np.ndarray,
+    samples: np.ndarray,
+    labels: Optional[np.ndarray] = None,
+) -> Dict[str, np.ndarray]:
+    """ECG pipeline (128-length, single block, host-side sum+sigmoid)."""
+    ctx = stack.ctx
+    w = np.asarray(weight, np.int64).reshape(-1)
+    samples = np.atleast_2d(np.asarray(samples, np.uint64))
+    B, L = samples.shape
+    assert L == transcipher.T and w.shape == (L,)
+
+    key = pasta.get_fixed_symmetric_key()
+    sym = pasta.Pasta(key, ctx.t).encrypt(samples)
+    enc_key = stack.tc.encrypt_key(stack.pk, key)
+    weight_ct = helin.encrypt_weight(ctx, stack.pk, w[None, :])[0]
+
+    data_ct = csp_decompose(stack, enc_key, sym)
+    wct = Ciphertext(
+        weight_ct.data[:, None] if np.asarray(data_ct.data).ndim == 4 else weight_ct.data
+    )
+    prod = bfv_eval.relinearize(
+        ctx, bfv_eval.multiply(ctx, data_ct, wct), stack.rk
+    )
+    preds = analyst_decrypt_sum_sigmoid(stack, prod, L)
+    out = {"predictions": preds}
+    if labels is not None:
+        out["accuracy"] = float(np.mean(preds == np.asarray(labels).reshape(-1)[:B]))
+    return out

@@ -1,0 +1,40 @@
+"""End-to-end HHE inference workload tests on a small-but-complete parameter
+set (N=2048 with a widened modulus chain so the full 3-round transcipher fits
+the noise budget; production config N=16384 is covered by the slow test in
+test_transcipher.py)."""
+
+import numpy as np
+import pytest
+
+from hhe_tpu.ops import bfv
+from hhe_tpu.workloads import hhe_inference as wk
+
+
+@pytest.fixture(scope="module")
+def stack300():
+    return wk.build_stack(bfv.BFVParams(n=2048, data_limbs=12, seed=42), input_len=300)
+
+
+def test_hhe_1fc_inference_parity(stack300):
+    """Full SpO2-style 300-length pipeline with the hard plaintext-parity
+    check (reference hhe_pktnn_examples.cpp:385-711)."""
+    rng = np.random.default_rng(0)
+    w = rng.integers(-3, 4, 300)
+    x = rng.integers(0, 32, (2, 300))
+    out = wk.hhe_1fc_inference(stack300, w, x, check_parity=True)
+    expect_raw = x.astype(np.int64) @ w
+    assert np.array_equal(out["raw"], expect_raw)
+    assert np.array_equal(out["predictions"], (expect_raw > 0).astype(int))
+
+
+def test_hhe_ecg_inference(stack300):
+    """ECG-style single-block pipeline: host sum + simple_pocket_sigmoid."""
+    from hhe_tpu.models import pocketnn as pk
+
+    rng = np.random.default_rng(1)
+    w = rng.integers(-2, 3, 128)
+    x = rng.integers(0, 64, (2, 128))
+    out = wk.hhe_ecg_inference(stack300, w, x)
+    sums = (x.astype(np.int64) * w).sum(1)
+    expect = [128 if int(pk.simple_pocket_sigmoid(int(s))) > 64 else 0 for s in sums]
+    assert out["predictions"].tolist() == expect
