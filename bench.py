@@ -24,9 +24,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# Reference C++ (SEAL, this machine's CPU, single thread) seconds per
-# decomposition block; measured via tools/ref_bench (see BASELINE.md).
-BASELINE_BLOCK_S = float(os.environ.get("HHE_BASELINE_BLOCK_S", "0") or 0)
+# Reference C++ (SEAL 4.0, this machine's CPU, single thread) seconds per
+# decomposition block; measured via tools/ref_bench: 22.66 s/block at
+# N=16384, t=65537 (parity OK). See BASELINE.md.
+BASELINE_BLOCK_S = float(os.environ.get("HHE_BASELINE_BLOCK_S", "22.66"))
 
 CACHE = pathlib.Path(__file__).resolve().parent / ".bench_cache"
 
