@@ -89,13 +89,13 @@ def main():
 
     # warmup / compile
     t0 = time.time()
-    out = tc._jit_keystream(enc_key.data, mats_pt, rcs_pt)
+    out = tc._jit_keystream(enc_key.data, mats_pt, rcs_pt, tc._keys())
     jax.block_until_ready(out)
     compile_s = time.time() - t0
 
     t0 = time.time()
     for _ in range(reps):
-        out = tc._jit_keystream(enc_key.data, mats_pt, rcs_pt)
+        out = tc._jit_keystream(enc_key.data, mats_pt, rcs_pt, tc._keys())
     jax.block_until_ready(out)
     per_block = (time.time() - t0) / reps
 

@@ -259,29 +259,35 @@ class Context:
         pq = self.base_qp.moduli
         kd = self.k
         s_rns = self._small_to_rns(sk.s_small, pq)
+        a = np.stack([self._sample_uniform(pq) for _ in range(kd)])  # [kd, k+1, N]
+        e = np.stack(
+            [self._small_to_rns(self._sample_cbd(), pq) for _ in range(kd)]
+        )
         k0 = np.zeros((kd, len(pq), self.n), np.uint64)
-        k1 = np.zeros_like(k0)
-        for j in range(kd):
-            a = self._sample_uniform(pq)
-            e = self._small_to_rns(self._sample_cbd(), pq)
-            for i, m in enumerate(pq):
-                as_ = ntt.poly_mul_host(a[i], s_rns[i], m)
-                body = (m - (as_ + e[i]) % m) % m
-                if i < kd:  # P*unit_j mod P == 0; only data limbs get payload
-                    factor = (self.p_special % m) * self.unit_mod_qp[j, i] % m
-                    body = (body + target_rns_qp[i] * factor) % m
-                k0[j, i] = body
-                k1[j, i] = a[i]
+        for i, m in enumerate(pq):
+            mm = np.uint64(m)
+            tb = ntt.build_host_tables(m, self.n)
+            fa = ntt.ntt_fwd_host(a[:, i], tb)  # batched over digits
+            fs = ntt.ntt_fwd_host(s_rns[i], tb)
+            as_ = ntt.ntt_inv_host(fa * fs % mm, tb)
+            body = (mm - (as_ + e[:, i]) % mm) % mm
+            if i < kd:  # P*unit_j mod P == 0; only data limbs get payload
+                factor = (
+                    (self.p_special % m) * self.unit_mod_qp[:, i] % m
+                )  # [kd]
+                body = (body + target_rns_qp[i][None, :] * factor[:, None]) % mm
+            k0[:, i] = body
+
         # store NTT + Montgomery domain (device)
         def to_dev(x):
             out = np.empty_like(x)
             for i, m in enumerate(pq):
                 tb = ntt.build_host_tables(m, self.n)
-                out[:, i] = ntt.ntt_fwd_host(x[:, i], tb)
-                out[:, i] = (out[:, i] << np.uint64(32)) % np.uint64(m)
+                f = ntt.ntt_fwd_host(x[:, i], tb)
+                out[:, i] = (f << np.uint64(32)) % np.uint64(m)
             return jnp.asarray(out.astype(np.uint32))
 
-        return KSwitchKey(to_dev(k0), to_dev(k1))
+        return KSwitchKey(to_dev(k0), to_dev(a))
 
     def keygen_relin(self, sk: SecretKey) -> KSwitchKey:
         """Relinearization key: target = s^2 (reference create_relin_keys)."""
@@ -296,10 +302,10 @@ class Context:
         """Galois keys: target = s(X^g) (reference create_galois_keys(indices))."""
         pq = self.base_qp.moduli
         out = {}
+        s_rns = self._small_to_rns(sk.s_small, pq)
         for g in elts:
             src, sign = self.galois_perm(int(g))
             sg = np.empty((len(pq), self.n), np.uint64)
-            s_rns = self._small_to_rns(sk.s_small, pq)
             for i, m in enumerate(pq):
                 v = s_rns[i][src]
                 sg[i] = np.where(sign, (m - v) % m, v)

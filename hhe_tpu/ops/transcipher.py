@@ -119,50 +119,56 @@ class Transcipher:
     # Homomorphic building blocks (jit-traced)
     # ------------------------------------------------------------------
 
-    def _matmul(self, st: Ciphertext, mats: jnp.ndarray) -> Ciphertext:
+    def _keys(self):
+        """Key pytree passed into the jitted keystream (NOT closed over, so
+        re-keygen doesn't change the traced graph / bust the compile cache)."""
+        return (self.rk, self.gk_neg1, self.gk_t, self.gk_cols)
+
+    def _matmul(self, st: Ciphertext, mats: jnp.ndarray, keys) -> Ciphertext:
         """Packed two-matrix diagonal product (reference diagonal,
         ``pasta_3_seal.cpp:370-413``) with the rotation loop as lax.scan."""
         ctx = self.ctx
+        _, gk_neg1, gk_t, _ = keys
         if self.g_t is not None:
-            st = bfv_eval.add(ctx, st, bfv_eval.apply_galois(ctx, st, self.g_t, self.gk_t))
+            st = bfv_eval.add(ctx, st, bfv_eval.apply_galois(ctx, st, self.g_t, gk_t))
         acc = bfv_eval.multiply_plain(ctx, st, mats[0])
 
         def body(carry, diag):
             state, acc = carry
-            state = bfv_eval.apply_galois(ctx, state, self.g_neg1, self.gk_neg1)
+            state = bfv_eval.apply_galois(ctx, state, self.g_neg1, gk_neg1)
             acc = bfv_eval.add(ctx, acc, bfv_eval.multiply_plain(ctx, state, diag))
             return (state, acc), None
 
         (_, acc), _ = lax.scan(body, (st, acc), mats[1:])
         return acc
 
-    def _mix(self, st: Ciphertext) -> Ciphertext:
+    def _mix(self, st: Ciphertext, keys) -> Ciphertext:
         """(2 1; 1 2) over the two rows (reference mix, rotate_columns + adds)."""
         ctx = self.ctx
-        tmp = bfv_eval.add(ctx, bfv_eval.apply_galois(ctx, st, self.g_cols, self.gk_cols), st)
+        tmp = bfv_eval.add(ctx, bfv_eval.apply_galois(ctx, st, self.g_cols, keys[3]), st)
         return bfv_eval.add(ctx, st, tmp)
 
-    def _sbox_feistel(self, st: Ciphertext) -> Ciphertext:
+    def _sbox_feistel(self, st: Ciphertext, keys) -> Ciphertext:
         """state[i] += state[i-1]^2 (reference sbox_feistel: rotate, mask,
         square, relinearize, add)."""
         ctx = self.ctx
-        rot = bfv_eval.apply_galois(ctx, st, self.g_neg1, self.gk_neg1)
+        rot = bfv_eval.apply_galois(ctx, st, self.g_neg1, keys[1])
         rot = bfv_eval.multiply_plain(ctx, rot, self.feistel_mask)
-        rot = bfv_eval.relinearize(ctx, bfv_eval.square(ctx, rot), self.rk)
+        rot = bfv_eval.relinearize(ctx, bfv_eval.square(ctx, rot), keys[0])
         return bfv_eval.add(ctx, st, rot)
 
-    def _keystream_impl(self, key_data, mats_pt, rcs_pt) -> jnp.ndarray:
+    def _keystream_impl(self, key_data, mats_pt, rcs_pt, keys) -> jnp.ndarray:
         """Full 3-round PASTA keystream evaluation on the encrypted key."""
         ctx = self.ctx
         st = Ciphertext(key_data)
         for r in range(4):
-            st = self._matmul(st, mats_pt[r])
+            st = self._matmul(st, mats_pt[r], keys)
             st = bfv_eval.add_plain(ctx, st, rcs_pt[r])
-            st = self._mix(st)
+            st = self._mix(st, keys)
             if r < 2:
-                st = self._sbox_feistel(st)
+                st = self._sbox_feistel(st, keys)
             elif r == 2:
-                st = bfv_eval.exponentiate(ctx, st, 3, self.rk)
+                st = bfv_eval.exponentiate(ctx, st, 3, keys[0])
         return st.data
 
     # ------------------------------------------------------------------
@@ -175,7 +181,7 @@ class Transcipher:
         if ck not in self._ks_cache:
             mats_pt, rcs_pt = self.block_plaintexts(nonce, b)
             self._ks_cache[ck] = Ciphertext(
-                self._jit_keystream(enc_key.data, mats_pt, rcs_pt)
+                self._jit_keystream(enc_key.data, mats_pt, rcs_pt, self._keys())
             )
         return self._ks_cache[ck]
 

@@ -35,9 +35,9 @@ def test_linear_layer_parity(small_stack):
     enc_key = tc.encrypt_key(pk, key)
     mats_pt, rcs_pt = tc.block_plaintexts(pasta.NONCE, 0)
 
-    st = tc._matmul(bfv.Ciphertext(enc_key.data), mats_pt[0])
+    st = tc._matmul(bfv.Ciphertext(enc_key.data), mats_pt[0], tc._keys())
     st = bfv_eval.add_plain(ctx, st, rcs_pt[0])
-    st = tc._mix(st)
+    st = tc._mix(st, tc._keys())
 
     p = np.uint64(ctx.t)
     mats1, mats2, rcs1, rcs2 = pasta.block_randomness(ctx.t, pasta.NONCE, 0)
@@ -64,7 +64,7 @@ def test_feistel_sbox_parity(small_stack):
     vec[: transcipher.T] = v1
     vec[half :] = v2
     ct = ctx.encrypt(pk, ctx.encode(vec))
-    out = tc._sbox_feistel(ct)
+    out = tc._sbox_feistel(ct, tc._keys())
     got = ctx.decode(ctx.decrypt(sk, out))
     exp1 = pasta._sbox_feistel(v1.astype(np.uint64), ctx.t)
     exp2 = pasta._sbox_feistel(v2.astype(np.uint64), ctx.t)
