@@ -12,7 +12,7 @@ from hhe_tpu.workloads import hhe_inference as wk
 
 @pytest.fixture(scope="module")
 def stack300():
-    return wk.build_stack(bfv.BFVParams(n=1024, data_limbs=11, seed=42), input_len=300)
+    return wk.build_stack(bfv.BFVParams(n=1024, data_limbs=13, seed=42), input_len=300)
 
 
 def test_hhe_1fc_inference_parity(stack300):
