@@ -36,7 +36,7 @@ def _get_stack(n, limbs):
     from hhe_tpu.ops import bfv, transcipher
 
     ctx = bfv.Context(bfv.BFVParams(n=n, data_limbs=limbs, seed=1))
-    cache_f = CACHE / f"keys_n{n}_k{limbs}.npz"
+    cache_f = CACHE / f"keys_n{n}_k{limbs}_v2.npz"
     elt_list = transcipher.galois_elts(ctx)
     if cache_f.exists():
         z = np.load(cache_f)

@@ -104,11 +104,16 @@ class Context:
         self.params = p
         self.n, self.t = p.n, p.t
         # --- prime selection (all distinct, all == 1 mod 2N) ---
-        self.q_moduli = primes.ntt_primes(p.n, p.data_limb_bits, p.data_limbs)
-        sp = primes.ntt_primes(p.n, 31, 1)
+        # `t` may itself be a 31-bit NTT prime (e.g. 2147352577 for the
+        # overflow-free 2FC pipeline) — exclude it from every prime pool.
+        tskip = (p.t,)
+        self.q_moduli = primes.ntt_primes(
+            p.n, p.data_limb_bits, p.data_limbs, skip=tskip
+        )
+        sp = primes.ntt_primes(p.n, 31, 1, skip=tskip)
         self.p_special = sp[0]
         aux_count = p.data_limbs + 1
-        b_moduli = primes.ntt_primes(p.n, 31, aux_count + 2, skip=sp)
+        b_moduli = primes.ntt_primes(p.n, 31, aux_count + 2, skip=sp + tskip)
         self.b_moduli = b_moduli[:aux_count]
         self.m_sk = b_moduli[aux_count]
         self.gamma = b_moduli[aux_count + 1]
@@ -429,6 +434,18 @@ class Context:
         m = np.asarray(polys, np.uint64)
         out = np.empty(m.shape[:-1] + (self.k, self.n), np.uint64)
         for i, q in enumerate(self.q_moduli):
+            tb = ntt.build_host_tables(q, self.n)
+            f = ntt.ntt_fwd_host(m % q, tb)
+            out[..., i, :] = (f << np.uint64(32)) % np.uint64(q)
+        return jnp.asarray(out.astype(np.uint32))
+
+    def plain_for_mul_qp_batch(self, polys: np.ndarray) -> jnp.ndarray:
+        """[..., N] plaintext polys mod t -> [..., k+1, N] NTT+Mont over
+        q ∪ P (for multiplying lazily-accumulated key-switch sums)."""
+        m = np.asarray(polys, np.uint64)
+        pq = self.base_qp.moduli
+        out = np.empty(m.shape[:-1] + (len(pq), self.n), np.uint64)
+        for i, q in enumerate(pq):
             tb = ntt.build_host_tables(q, self.n)
             f = ntt.ntt_fwd_host(m % q, tb)
             out[..., i, :] = (f << np.uint64(32)) % np.uint64(q)

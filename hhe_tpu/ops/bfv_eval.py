@@ -167,38 +167,76 @@ def multiply_plain(ctx: Context, a: Ciphertext, pt_ntt_mont: jnp.ndarray) -> Cip
 
 
 # ---------------------------------------------------------------------------
+# NTT-domain galois permutations (for hoisted rotations)
+# ---------------------------------------------------------------------------
+
+
+def ntt_galois_src(ctx: Context, g: int) -> np.ndarray:
+    """Permutation of NTT-domain (bit-reversed evaluation order) indices
+    realizing x(X) -> x(X^g): out[s] = in[src[s]], no sign flips (automorphisms
+    permute the 2N-th root evaluation points).  Host-cached per element."""
+    cache = getattr(ctx, "_ntt_perm_cache", None)
+    if cache is None:
+        cache = ctx._ntt_perm_cache = {}
+    if g in cache:
+        return cache[g]
+    n, m = ctx.n, 2 * ctx.n
+    rev = ntt.bit_reverse_indices(n)
+    j = np.arange(n, dtype=np.int64)
+    h_in = ((2 * j + 1) * g) % m  # out slot rev[j] evaluates at psi^(2j+1)
+    src = np.empty(n, np.int64)
+    src[rev[j]] = rev[(h_in - 1) // 2]
+    cache[g] = src
+    return src
+
+
+# ---------------------------------------------------------------------------
 # Key switching (hybrid, one special prime; reference evaluator.h switch_key)
 # ---------------------------------------------------------------------------
+
+
+def hoist_digits(ctx: Context, poly_q: jnp.ndarray) -> jnp.ndarray:
+    """RNS digit decomposition + NTT, done ONCE per ciphertext so many
+    rotations can share it (hoisting): [..., k, N] -> [..., k, k+1, N]."""
+    pq = ctx.tb_qp.q
+    digs = jnp.stack(
+        [reduce_u32(poly_q[..., j : j + 1, :], pq) for j in range(ctx.k)], axis=-3
+    )
+    return ntt.ntt_fwd(digs, ctx.tb_qp)
+
+
+def hoisted_ks_products(ctx: Context, fd_perm: jnp.ndarray, ksk: KSwitchKey):
+    """Inner products of (permuted) hoisted digits with one rotation's keys:
+    [..., k, k+1, N] NTT digits -> (h0, h1) [..., k+1, N] NTT over q ∪ P."""
+    qp, qpi = ctx.tb_qp.q, ctx.tb_qp.qinv_neg
+    t0 = mont_mul(fd_perm, ksk.k0, qp, qpi)
+    t1 = mont_mul(fd_perm, ksk.k1, qp, qpi)
+    acc0 = t0[..., 0, :, :]
+    acc1 = t1[..., 0, :, :]
+    for j in range(1, ctx.k):
+        acc0 = add_mod(acc0, t0[..., j, :, :], qp)
+        acc1 = add_mod(acc1, t1[..., j, :, :], qp)
+    return acc0, acc1
+
+
+def mod_down(ctx: Context, c: jnp.ndarray) -> jnp.ndarray:
+    """Divide-and-round by the special prime: [..., k+1, N] coeff over q ∪ P
+    -> [..., k, N] over q."""
+    ec = eval_consts(ctx)
+    xp = c[..., -1:, :]
+    a1 = reduce_u32(xp, ec.q)
+    fix = jnp.where(xp > ec.p_half, sub_mod(a1, ec.p_mod_q, ec.q), a1)
+    return mont_mul(sub_mod(c[..., :-1, :], fix, ec.q), ec.p_inv_mont, ec.q, ec.qi)
 
 
 def keyswitch(ctx: Context, poly_q: jnp.ndarray, ksk: KSwitchKey) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """poly_q [k, N] coeff mod q -> (d0, d1) [k, N] coeff mod q such that
     d0 + d1*s ~= poly * target (+ small noise)."""
-    ec = eval_consts(ctx)
-    k = ctx.k
-    pq = ctx.tb_qp.q  # [k+1,1]
-    # RNS digit decomposition: digit j broadcast to all moduli of q ∪ P
-    digs = jnp.stack(
-        [reduce_u32(poly_q[..., j : j + 1, :], pq) for j in range(k)], axis=-3
-    )  # [..., k, k+1, N]
-    fd = ntt.ntt_fwd(digs, ctx.tb_qp)
-    qp, qpi = ctx.tb_qp.q, ctx.tb_qp.qinv_neg
-    acc0 = acc1 = None
-    for j in range(k):
-        t0 = mont_mul(fd[..., j, :, :], ksk.k0[j], qp, qpi)
-        t1 = mont_mul(fd[..., j, :, :], ksk.k1[j], qp, qpi)
-        acc0 = t0 if acc0 is None else add_mod(acc0, t0, qp)
-        acc1 = t1 if acc1 is None else add_mod(acc1, t1, qp)
+    fd = hoist_digits(ctx, poly_q)
+    acc0, acc1 = hoisted_ks_products(ctx, fd, ksk)
     c0 = ntt.ntt_inv(acc0, ctx.tb_qp)
     c1 = ntt.ntt_inv(acc1, ctx.tb_qp)
-
-    def mod_down(c):
-        xp = c[..., -1:, :]  # [..., 1, N] mod P
-        a1 = reduce_u32(xp, ec.q)  # [..., k, N]
-        fix = jnp.where(xp > ec.p_half, sub_mod(a1, ec.p_mod_q, ec.q), a1)
-        return mont_mul(sub_mod(c[..., :-1, :], fix, ec.q), ec.p_inv_mont, ec.q, ec.qi)
-
-    return mod_down(c0), mod_down(c1)
+    return mod_down(ctx, c0), mod_down(ctx, c1)
 
 
 def apply_galois(ctx: Context, ct: Ciphertext, g: int, gk: KSwitchKey) -> Ciphertext:

@@ -35,35 +35,77 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from . import bfv, bfv_eval, pasta
+from . import bfv, bfv_eval, ntt, pasta
 from .bfv import Ciphertext, Context, KSwitchKey, PublicKey
-from .modular import add_mod
+from .modular import add_mod, mont_mul, neg_mod
 
 T = pasta.PASTA_T
+BSGS_N1 = 16  # reference pasta_3_seal.h:34-35
+BSGS_N2 = 8
 
 
-def galois_elts(ctx: Context) -> List[int]:
+def galois_elts(ctx: Context, use_bsgs: bool = True) -> List[int]:
     """Galois elements the transcipher needs (reference add_gk_indices,
-    ``pasta_3_seal.cpp:190-201``): rotate -1, column swap, and +T when the
-    packing is not full."""
-    elts = [ctx.galois_elt_from_step(-1), 2 * ctx.n - 1]
+    ``pasta_3_seal.cpp:190-201``): rotate -1, column swap, +T when the packing
+    is not full, and — for the hoisted BSGS matmul — the babystep elements
+    -2..-15 and giantstep elements -16k."""
+    elts = {ctx.galois_elt_from_step(-1), 2 * ctx.n - 1}
     if ctx.n // 2 != T:
-        elts.append(ctx.galois_elt_from_step(T))
-    return elts
+        elts.add(ctx.galois_elt_from_step(T))
+    if use_bsgs:
+        for j in range(1, BSGS_N1):
+            elts.add(ctx.galois_elt_from_step(-j))
+        for k in range(1, BSGS_N2):
+            elts.add(ctx.galois_elt_from_step(-k * BSGS_N1))
+    return sorted(elts)
 
 
 class Transcipher:
     """Evaluates PASTA-3 decryption under BFV (one instance per context+keys)."""
 
-    def __init__(self, ctx: Context, rk: KSwitchKey, gks: Dict[int, KSwitchKey]):
+    def __init__(
+        self,
+        ctx: Context,
+        rk: KSwitchKey,
+        gks: Dict[int, KSwitchKey],
+        use_bsgs: bool = True,
+    ):
         self.ctx = ctx
         self.rk = rk
+        self.gks_all = gks
         self.g_neg1 = ctx.galois_elt_from_step(-1)
         self.g_cols = 2 * ctx.n - 1
         self.g_t = ctx.galois_elt_from_step(T) if ctx.n // 2 != T else None
         self.gk_neg1 = gks[self.g_neg1]
         self.gk_cols = gks[self.g_cols]
         self.gk_t = gks[self.g_t] if self.g_t is not None else gks[self.g_neg1]
+        self.use_bsgs = use_bsgs and all(
+            ctx.galois_elt_from_step(-j) in gks for j in range(1, BSGS_N1)
+        ) and all(
+            ctx.galois_elt_from_step(-k * BSGS_N1) in gks for k in range(1, BSGS_N2)
+        )
+        if self.use_bsgs:
+            baby = [gks[ctx.galois_elt_from_step(-j)] for j in range(1, BSGS_N1)]
+            # pre-stacked for the babystep lax.scan
+            self.baby_k0 = jnp.stack([b.k0 for b in baby])  # [N1-1, k, k+1, N]
+            self.baby_k1 = jnp.stack([b.k1 for b in baby])
+            self.giant_gks = tuple(
+                gks[ctx.galois_elt_from_step(-k * BSGS_N1)] for k in range(1, BSGS_N2)
+            )
+            self.baby_src = np.stack(
+                [
+                    bfv_eval.ntt_galois_src(ctx, ctx.galois_elt_from_step(-j))
+                    for j in range(1, BSGS_N1)
+                ]
+            )
+            self.giant_src = tuple(
+                bfv_eval.ntt_galois_src(ctx, ctx.galois_elt_from_step(-k * BSGS_N1))
+                for k in range(1, BSGS_N2)
+            )
+            self.giant_perm = tuple(
+                ctx.galois_perm(ctx.galois_elt_from_step(-k * BSGS_N1))
+                for k in range(1, BSGS_N2)
+            )
         half = ctx.n // 2
         mask = np.zeros(half + T, np.int64)
         mask[1:T] = 1
@@ -90,9 +132,14 @@ class Transcipher:
     # Host-precomputed per-block plaintext material
     # ------------------------------------------------------------------
 
-    def block_plaintexts(self, nonce: int, b: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """(mats_pt [4, T, k, N] NTT+Mont diagonals, rcs_pt [4, k, N] scaled)."""
-        kcache = (nonce, b)
+    def block_plaintexts(self, nonce: int, b: int):
+        """Per-(nonce, block) device plaintext material.
+
+        Diagonal mode: (mats_pt [4, T, k, N] NTT+Mont, rcs_pt [4, k, N]).
+        BSGS mode: (mats_q [4, T, k, N], mats_qp [4, T, k+1, N], rcs_pt) with
+        each diagonal pre-rotated left by (i // N1) * N1 within its row
+        (reference babystep_giantstep diag prep, pasta_3_seal.cpp:278-330)."""
+        kcache = (nonce, b, self.use_bsgs)
         if kcache in self._pt_cache:
             return self._pt_cache[kcache]
         ctx = self.ctx
@@ -101,17 +148,36 @@ class Transcipher:
         i_idx = np.arange(T)[:, None]
         j_idx = np.arange(T)[None, :]
         sel = (j_idx + T - i_idx) % T  # diag i entry j: mat[j][(j+T-i)%T]
-        diag_vecs = np.zeros((4, T, half + T), np.uint64)
+        diag_vecs = np.zeros((4, T, ctx.n), np.uint64)
         rc_vecs = np.zeros((4, half + T), np.uint64)
         for r in range(4):
-            diag_vecs[r, :, :T] = mats1[r][j_idx, sel]
-            diag_vecs[r, :, half : half + T] = mats2[r][j_idx, sel]
+            d1 = mats1[r][j_idx, sel]  # [T(i), T(j)]
+            d2 = mats2[r][j_idx, sel]
+            row0 = np.zeros((T, half), np.uint64)
+            row1 = np.zeros((T, half), np.uint64)
+            row0[:, :T] = d1
+            row1[:, :T] = d2
+            if self.use_bsgs:
+                for i in range(T):
+                    kk = i // BSGS_N1
+                    if kk:
+                        row0[i] = np.roll(row0[i], -kk * BSGS_N1)
+                        row1[i] = np.roll(row1[i], -kk * BSGS_N1)
+            diag_vecs[r, :, :half] = row0
+            diag_vecs[r, :, half:] = row1
             rc_vecs[r, :T] = rcs1[r]
             rc_vecs[r, half : half + T] = rcs2[r]
-        mats_polys = ctx.encode_batch(diag_vecs.reshape(4 * T, half + T))
-        mats_pt = ctx.plain_for_mul_batch(mats_polys).reshape(4, T, ctx.k, ctx.n)
+        polys = ctx.encode_batch(diag_vecs.reshape(4 * T, ctx.n))
         rcs_pt = ctx.plain_for_add_batch(ctx.encode_batch(rc_vecs))
-        out = (mats_pt, rcs_pt)
+        if self.use_bsgs:
+            mats_q = ctx.plain_for_mul_batch(polys).reshape(4, T, ctx.k, ctx.n)
+            mats_qp = ctx.plain_for_mul_qp_batch(polys).reshape(
+                4, T, ctx.k + 1, ctx.n
+            )
+            out = ((mats_q, mats_qp), rcs_pt)
+        else:
+            mats_pt = ctx.plain_for_mul_batch(polys).reshape(4, T, ctx.k, ctx.n)
+            out = (mats_pt, rcs_pt)
         self._pt_cache[kcache] = out
         return out
 
@@ -122,13 +188,25 @@ class Transcipher:
     def _keys(self):
         """Key pytree passed into the jitted keystream (NOT closed over, so
         re-keygen doesn't change the traced graph / bust the compile cache)."""
-        return (self.rk, self.gk_neg1, self.gk_t, self.gk_cols)
+        base = (self.rk, self.gk_neg1, self.gk_t, self.gk_cols)
+        if self.use_bsgs:
+            return base + ((self.baby_k0, self.baby_k1), self.giant_gks)
+        return base
 
-    def _matmul(self, st: Ciphertext, mats: jnp.ndarray, keys) -> Ciphertext:
+    def round_mats(self, mats, r: int):
+        """Slice block_plaintexts' matrix bundle for round r (mode-aware)."""
+        return (mats[0][r], mats[1][r]) if self.use_bsgs else mats[r]
+
+    def _matmul(self, st: Ciphertext, mats, keys) -> Ciphertext:
+        if self.use_bsgs:
+            return self._matmul_bsgs(st, mats, keys)
+        return self._matmul_diag(st, mats, keys)
+
+    def _matmul_diag(self, st: Ciphertext, mats: jnp.ndarray, keys) -> Ciphertext:
         """Packed two-matrix diagonal product (reference diagonal,
         ``pasta_3_seal.cpp:370-413``) with the rotation loop as lax.scan."""
         ctx = self.ctx
-        _, gk_neg1, gk_t, _ = keys
+        gk_neg1, gk_t = keys[1], keys[2]
         if self.g_t is not None:
             st = bfv_eval.add(ctx, st, bfv_eval.apply_galois(ctx, st, self.g_t, gk_t))
         acc = bfv_eval.multiply_plain(ctx, st, mats[0])
@@ -141,6 +219,92 @@ class Transcipher:
 
         (_, acc), _ = lax.scan(body, (st, acc), mats[1:])
         return acc
+
+    def _matmul_bsgs(self, st: Ciphertext, mats, keys) -> Ciphertext:
+        """TPU-first babystep-giantstep matmul (reference babystep_giantstep,
+        ``pasta_3_seal.cpp:267-366``, N1=16 N2=8) with two key optimizations:
+
+        - **Hoisting**: the state's key-switch digit decomposition (the
+          expensive NTT set) is computed ONCE; each babystep rotation is then
+          just an NTT-domain slot permutation + key inner product.
+        - **Lazy mod-down**: babystep contributions accumulate over q ∪ P in
+          NTT domain and are divided by the special prime once per giantstep
+          group; giantstep contributions likewise accumulate and mod-down
+          once.  508 full key-switches/block become ~30 NTT passes.
+        """
+        ctx = self.ctx
+        mats_q, mats_qp = mats
+        gk_t = keys[2]
+        (baby_k0, baby_k1), giant_gks = keys[4], keys[5]
+        q, qi = ctx.tb_q.q, ctx.tb_q.qinv_neg
+        qp, qpi = ctx.tb_qp.q, ctx.tb_qp.qinv_neg
+
+        if self.g_t is not None:
+            st = bfv_eval.add(ctx, st, bfv_eval.apply_galois(ctx, st, self.g_t, gk_t))
+
+        f0 = ntt.ntt_fwd(st.data[0], ctx.tb_q)
+        f1 = ntt.ntt_fwd(st.data[1], ctx.tb_q)
+        fd = bfv_eval.hoist_digits(ctx, st.data[1])  # [k, k+1, N] NTT(qP)
+        baby_src = jnp.asarray(self.baby_src)  # [N1-1, N]
+
+        inners = []
+        for kk in range(BSGS_N2):
+            # j = 0 term: unrotated state
+            acc0q = mont_mul(f0, mats_q[kk * BSGS_N1], q, qi)
+            acc1q = mont_mul(f1, mats_q[kk * BSGS_N1], q, qi)
+
+            def body(carry, xs):
+                a0q, a0p, a1p = carry
+                src, dq, dqp, bk0, bk1 = xs
+                a0q = add_mod(a0q, mont_mul(jnp.take(f0, src, axis=-1), dq, q, qi), q)
+                pfd = jnp.take(fd, src, axis=-1)
+                h0, h1 = bfv_eval.hoisted_ks_products(ctx, pfd, KSwitchKey(bk0, bk1))
+                a0p = add_mod(a0p, mont_mul(h0, dqp, qp, qpi), qp)
+                a1p = add_mod(a1p, mont_mul(h1, dqp, qp, qpi), qp)
+                return (a0q, a0p, a1p), None
+
+            z_qp = jnp.zeros((ctx.k + 1, ctx.n), jnp.uint32)
+            (acc0q, acc0p, acc1p), _ = lax.scan(
+                body,
+                (acc0q, z_qp, z_qp),
+                (
+                    baby_src,
+                    mats_q[kk * BSGS_N1 + 1 : (kk + 1) * BSGS_N1],
+                    mats_qp[kk * BSGS_N1 + 1 : (kk + 1) * BSGS_N1],
+                    baby_k0,
+                    baby_k1,
+                ),
+            )
+            i0 = add_mod(
+                ntt.ntt_inv(acc0q, ctx.tb_q),
+                bfv_eval.mod_down(ctx, ntt.ntt_inv(acc0p, ctx.tb_qp)),
+                q,
+            )
+            i1 = add_mod(
+                ntt.ntt_inv(acc1q, ctx.tb_q),
+                bfv_eval.mod_down(ctx, ntt.ntt_inv(acc1p, ctx.tb_qp)),
+                q,
+            )
+            inners.append((i0, i1))
+
+        # giantsteps: out = inner_0 + sum_k sigma_{-k*N1}(inner_k), with the
+        # key-switch sums lazily accumulated over q ∪ P.
+        out0, out1 = inners[0]
+        acc0p = acc1p = None
+        for kk in range(1, BSGS_N2):
+            i0, i1 = inners[kk]
+            srcc, sgn = self.giant_perm[kk - 1]
+            p0 = jnp.take(i0, jnp.asarray(srcc), axis=-1)
+            p0 = jnp.where(jnp.asarray(sgn), neg_mod(p0, q), p0)
+            out0 = add_mod(out0, p0, q)
+            fdk = bfv_eval.hoist_digits(ctx, i1)
+            pfd = jnp.take(fdk, jnp.asarray(self.giant_src[kk - 1]), axis=-1)
+            h0, h1 = bfv_eval.hoisted_ks_products(ctx, pfd, giant_gks[kk - 1])
+            acc0p = h0 if acc0p is None else add_mod(acc0p, h0, qp)
+            acc1p = h1 if acc1p is None else add_mod(acc1p, h1, qp)
+        out0 = add_mod(out0, bfv_eval.mod_down(ctx, ntt.ntt_inv(acc0p, ctx.tb_qp)), q)
+        out1 = add_mod(out1, bfv_eval.mod_down(ctx, ntt.ntt_inv(acc1p, ctx.tb_qp)), q)
+        return Ciphertext(jnp.stack([out0, out1]))
 
     def _mix(self, st: Ciphertext, keys) -> Ciphertext:
         """(2 1; 1 2) over the two rows (reference mix, rotate_columns + adds)."""
@@ -162,7 +326,7 @@ class Transcipher:
         ctx = self.ctx
         st = Ciphertext(key_data)
         for r in range(4):
-            st = self._matmul(st, mats_pt[r], keys)
+            st = self._matmul(st, self.round_mats(mats_pt, r), keys)
             st = bfv_eval.add_plain(ctx, st, rcs_pt[r])
             st = self._mix(st, keys)
             if r < 2:

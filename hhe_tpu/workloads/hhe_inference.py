@@ -190,6 +190,119 @@ def hhe_1fc_inference(
     return {"raw": raw, "predictions": preds}
 
 
+def csp_eval_2fc(
+    stack: HHEStack,
+    data_ct: Ciphertext,
+    w1_cts: List[Ciphertext],
+    w2_pts: jnp.ndarray,
+) -> Ciphertext:
+    """Encrypted 2FC forward (completes the reference's TODO,
+    ``hhe_pktnn_examples.cpp:993-997``):
+
+    1. fc1: all R output rows evaluated in ONE batched pass — data ct
+       broadcast against the stacked encrypted weight rows, BEHZ multiply,
+       relinearize, log-depth rotate-reduce (each row ct then holds its
+       neuron's value in every slot).
+    2. square activation: batched ct x ct square + relinearize.
+    3. fc2: multiply each squared row ct by a plaintext carrying w2[row, :]
+       in slots 0..9 and tree-add -> ONE ciphertext with all logits packed.
+
+    data_ct: [2, k, N] or batched [2, B, k, N]."""
+    ctx = stack.ctx
+    dd = data_ct.data
+    batched = dd.ndim == 4
+    if not batched:
+        dd = dd[:, None]  # [2, 1, k, N]
+    wstack = jnp.stack([w.data for w in w1_cts], axis=1)  # [2, R, k, N]
+    a = Ciphertext(dd[:, :, None])  # [2, B, 1, k, N]
+    b = Ciphertext(wstack[:, None])  # [2, 1, R, k, N]
+    prod = bfv_eval.relinearize(ctx, bfv_eval.multiply(ctx, a, b), stack.rk)
+    sums = helin.encrypted_vec_sum_log(ctx, prod, stack.gks)  # [2, B, R, k, N]
+    sq = bfv_eval.relinearize(ctx, bfv_eval.square(ctx, sums), stack.rk)
+    # fc2: plaintext w2 rows (slots 0..9), tree-add over R
+    terms = bfv_eval.multiply_plain(ctx, sq, w2_pts).data  # [2, B, R, k, N]
+    q = ctx.tb_q.q
+    from ..ops.modular import add_mod
+
+    acc = terms
+    r = acc.shape[2]
+    while r > 1:
+        half = r // 2
+        left = acc[:, :, :half]
+        right = acc[:, :, half : 2 * half]
+        merged = add_mod(left, right, q)
+        if r % 2:
+            merged = jnp.concatenate([merged, acc[:, :, -1:]], axis=2)
+            r = half + 1
+        else:
+            r = half
+        acc = merged
+    logits = Ciphertext(acc[:, :, 0] if batched else acc[:, 0, 0])
+    return logits
+
+
+def hhe_2fc_inference(
+    stack: HHEStack,
+    w1: np.ndarray,
+    w2: np.ndarray,
+    samples: np.ndarray,
+    labels: Optional[np.ndarray] = None,
+    via_transcipher: bool = True,
+    check_parity: bool = True,
+) -> Dict[str, np.ndarray]:
+    """MNIST/FMNIST-style 784 -> R -> 10 encrypted inference with square
+    activation (reference hhe_pktnn_2fc_inference, hhe_pktnn_examples.cpp:713-
+    1010, with the fc2 half completed homomorphically).
+
+    w1 [in_dim, R], w2 [R, 10]; samples [B, in_dim] small non-negative ints.
+    With via_transcipher=False the inputs are BFV-encrypted directly
+    (exercising the encrypted NN eval without the PASTA stage)."""
+    ctx = stack.ctx
+    w1 = np.asarray(w1, np.int64)
+    w2 = np.asarray(w2, np.int64)
+    samples = np.atleast_2d(np.asarray(samples, np.int64))
+    B, L = samples.shape
+    in_dim, R = w1.shape
+
+    w1_cts = helin.encrypt_weight(ctx, stack.pk, w1.T)  # one ct per output row
+    w2_pts = ctx.plain_for_mul_batch(
+        ctx.encode_batch(np.asarray(w2) % ctx.t)
+    )  # [R, k, N]
+
+    if via_transcipher:
+        key = pasta.get_fixed_symmetric_key()
+        sym = pasta.Pasta(key, ctx.t).encrypt(samples.astype(np.uint64))
+        enc_key = stack.tc.encrypt_key(stack.pk, key)
+        data_ct = csp_decompose(stack, enc_key, sym)
+    else:
+        data = np.stack(
+            [np.asarray(ctx.encrypt(stack.pk, ctx.encode(s)).data) for s in samples],
+            axis=1,
+        )
+        data_ct = Ciphertext(jnp.asarray(data))  # [2, B, k, N]
+
+    logits_ct = csp_eval_2fc(stack, data_ct, w1_cts, w2_pts)
+    logits = []
+    for ct in _split_batch(logits_ct):
+        dec = stack.ctx.decode_signed(stack.ctx.decrypt(stack.sk, ct))
+        logits.append(dec[:10])
+    logits = np.stack(logits)
+    preds = logits.argmax(1)
+
+    if check_parity:
+        t = ctx.t
+        v1 = (samples @ w1) % t
+        v1s = (v1 * v1) % t
+        expect = (v1s @ w2) % t
+        expect = np.where(expect > t // 2, expect - t, expect)
+        if not np.array_equal(logits.astype(np.int64), expect):
+            raise RuntimeError("2FC HHE output != plaintext mod-t output")
+    out = {"logits": logits, "predictions": preds}
+    if labels is not None:
+        out["accuracy"] = float(np.mean(preds == np.asarray(labels).reshape(-1)[:B]))
+    return out
+
+
 def hhe_ecg_inference(
     stack: HHEStack,
     weight: np.ndarray,

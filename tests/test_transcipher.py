@@ -13,13 +13,13 @@ import pytest
 from hhe_tpu.ops import bfv, bfv_eval, pasta, transcipher
 
 
-def make_stack(n, limbs, seed=11):
+def make_stack(n, limbs, seed=11, use_bsgs=True):
     ctx = bfv.Context(bfv.BFVParams(n=n, data_limbs=limbs, seed=seed))
     sk = ctx.keygen_secret()
     pk = ctx.keygen_public(sk)
     rk = ctx.keygen_relin(sk)
-    gks = ctx.keygen_galois(sk, transcipher.galois_elts(ctx))
-    tc = transcipher.Transcipher(ctx, rk, gks)
+    gks = ctx.keygen_galois(sk, transcipher.galois_elts(ctx, use_bsgs))
+    tc = transcipher.Transcipher(ctx, rk, gks, use_bsgs=use_bsgs)
     return ctx, sk, pk, tc
 
 
@@ -28,14 +28,19 @@ def small_stack():
     return make_stack(2048, 4)
 
 
-def test_linear_layer_parity(small_stack):
-    """matmul + add_rc + mix on the encrypted key == plain PASTA linear layer."""
-    ctx, sk, pk, tc = small_stack
+@pytest.mark.parametrize("use_bsgs", [False, True], ids=["diagonal", "bsgs"])
+def test_linear_layer_parity(small_stack, use_bsgs):
+    """matmul + add_rc + mix on the encrypted key == plain PASTA linear layer,
+    in both the reference-exact diagonal mode and the hoisted BSGS mode."""
+    ctx, sk, pk, tc_b = small_stack
+    tc = tc_b if use_bsgs else transcipher.Transcipher(
+        ctx, tc_b.rk, {g: tc_b.gks_all[g] for g in tc_b.gks_all}, use_bsgs=False
+    )
     key = pasta.get_fixed_symmetric_key()
     enc_key = tc.encrypt_key(pk, key)
     mats_pt, rcs_pt = tc.block_plaintexts(pasta.NONCE, 0)
 
-    st = tc._matmul(bfv.Ciphertext(enc_key.data), mats_pt[0], tc._keys())
+    st = tc._matmul(bfv.Ciphertext(enc_key.data), tc.round_mats(mats_pt, 0), tc._keys())
     st = bfv_eval.add_plain(ctx, st, rcs_pt[0])
     st = tc._mix(st, tc._keys())
 

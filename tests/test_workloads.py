@@ -27,6 +27,24 @@ def test_hhe_1fc_inference_parity(stack300):
     assert np.array_equal(out["predictions"], (expect_raw > 0).astype(int))
 
 
+def test_hhe_2fc_inference():
+    """Encrypted 2FC (fc1 ct x ct batched rows -> square -> packed fc2) with
+    mod-t parity — the path the reference left as TODO
+    (hhe_pktnn_examples.cpp:993-997). Transcipher-free input encryption."""
+    stack = wk.build_stack(bfv.BFVParams(n=2048, data_limbs=5, seed=3), input_len=128)
+    rng = np.random.default_rng(2)
+    in_dim, R = 784, 32
+    w1 = rng.integers(-1, 2, (in_dim, R)) * (rng.random((in_dim, R)) < 0.05)
+    w2 = rng.integers(-2, 3, (R, 10))
+    x = (rng.random((2, in_dim)) < 0.1).astype(np.int64)
+    out = wk.hhe_2fc_inference(
+        stack, w1, w2, x, via_transcipher=False, check_parity=True
+    )
+    v1 = x @ w1
+    expect = np.argmax((v1 * v1) @ w2, axis=1)
+    assert np.array_equal(out["predictions"], expect)
+
+
 def test_hhe_ecg_inference(stack300):
     """ECG-style single-block pipeline: host sum + simple_pocket_sigmoid."""
     from hhe_tpu.models import pocketnn as pk
