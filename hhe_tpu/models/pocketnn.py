@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 
 K_BIT = 8  # reference pktnn_consts.h:5
+UNSIGNED_4BIT_MAX = 15  # reference pktnn_consts.h:11
 PKT_MAX = 127
 PKT_MIN = -127
 SHRT_MAX = 32767
@@ -195,9 +196,19 @@ class FCSpec:
     use_dfa: bool = True
 
 
-def fc_init(rng: np.random.Generator, spec: FCSpec, n_classes: int) -> FCParams:
-    w = jnp.zeros((spec.in_dim, spec.out_dim), jnp.int32)
-    b = jnp.zeros((1, spec.out_dim), jnp.int32)
+def fc_init(
+    rng: np.random.Generator, spec: FCSpec, n_classes: int, he_init: bool = False
+) -> FCParams:
+    if he_init:
+        # reference pktfc::initHeWeightBias (pktnn_fc.cpp:89-110)
+        rng_w = int(np.sqrt(12 * SHRT_MAX // (spec.in_dim + spec.out_dim)))
+        w = jnp.asarray(
+            rng.integers(-rng_w, rng_w + 1, (spec.in_dim, spec.out_dim)), jnp.int32
+        )
+        b = jnp.asarray(rng.integers(-rng_w, rng_w + 1, (1, spec.out_dim)), jnp.int32)
+    else:
+        w = jnp.zeros((spec.in_dim, spec.out_dim), jnp.int32)
+        b = jnp.zeros((1, spec.out_dim), jnp.int32)
     dfa = None
     if spec.use_dfa:
         # He-style integer range (reference pktnn_fc.cpp:72-81)
@@ -238,10 +249,15 @@ class MLP(NamedTuple):
     params: Tuple[FCParams, ...]
 
 
-def mlp_init(seed: int, specs: Sequence[FCSpec]) -> Tuple[MLP, Tuple[FCSpec, ...]]:
+def mlp_init(
+    seed: int, specs: Sequence[FCSpec], he_init: bool = False
+) -> Tuple[MLP, Tuple[FCSpec, ...]]:
     rng = np.random.default_rng(seed)
     n_classes = specs[-1].out_dim
-    return MLP(tuple(fc_init(rng, s, n_classes) for s in specs)), tuple(specs)
+    return (
+        MLP(tuple(fc_init(rng, s, n_classes, he_init) for s in specs)),
+        tuple(specs),
+    )
 
 
 def mlp_forward(model: MLP, specs, x):
