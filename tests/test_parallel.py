@@ -1,0 +1,66 @@
+"""Mesh-sharded evaluation on the 8-device virtual CPU mesh: sharded results
+must equal unsharded results exactly (integer arithmetic — bit-exact)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from hhe_tpu.ops import bfv, bfv_eval, helin
+from hhe_tpu.parallel import mesh as hmesh
+
+
+@pytest.fixture(scope="module")
+def stack():
+    ctx = bfv.Context(bfv.BFVParams(n=2048, data_limbs=4, seed=33))
+    sk = ctx.keygen_secret()
+    pk = ctx.keygen_public(sk)
+    rk = ctx.keygen_relin(sk)
+    gks = ctx.keygen_galois(sk, [ctx.galois_elt_from_step(1)])
+    return ctx, sk, pk, rk, gks
+
+
+def test_mesh_shapes():
+    m = hmesh.make_hhe_mesh(8, limb_shards=2)
+    assert m.shape == {"batch": 4, "limb": 2}
+
+
+def test_sharded_batch_eval_matches_unsharded(stack):
+    """multiply_plain + rotate + add on a sharded ciphertext batch == the
+    same ops unsharded (dp over samples, tp over limbs)."""
+    ctx, sk, pk, rk, gks = stack
+    assert len(jax.devices()) == 8
+    m = hmesh.make_hhe_mesh(8, limb_shards=2)  # k=4 divides 2
+    rng = np.random.default_rng(0)
+    B = 8
+    vals = rng.integers(0, ctx.t, (B, ctx.n), dtype=np.int64)
+    cts = [ctx.encrypt(pk, ctx.encode(v)) for v in vals]
+    batch = bfv.Ciphertext(jnp.stack([c.data for c in cts], axis=1))  # [2,B,k,N]
+    w = rng.integers(0, ctx.t, ctx.n, dtype=np.int64)
+    wpt = ctx.plain_for_mul(ctx.encode(w))
+    g = ctx.galois_elt_from_step(1)
+
+    def pipeline(ct):
+        prod = bfv_eval.multiply_plain(ctx, ct, wpt)
+        rot = bfv_eval.apply_galois(ctx, prod, g, gks[g])
+        return bfv_eval.add(ctx, prod, rot)
+
+    plain_out = pipeline(batch)
+
+    sharded = hmesh.shard_ciphertext_batch(batch, m)
+    sharded_out = jax.jit(pipeline)(sharded)
+
+    assert np.array_equal(np.asarray(plain_out.data), np.asarray(sharded_out.data))
+    # decrypt one sample to anchor semantics
+    one = bfv.Ciphertext(np.asarray(sharded_out.data)[:, 3])
+    dec = ctx.decode(ctx.decrypt(sk, one))
+    prod = vals[3] * w % ctx.t
+    half = ctx.n // 2
+    rot = np.roll(prod.reshape(2, half), -1, axis=1).reshape(-1)
+    assert np.array_equal(dec, (prod + rot) % ctx.t)
+
+
+def test_pad_batch():
+    x = np.arange(10).reshape(5, 2)
+    p, n = hmesh.pad_batch(x, 4)
+    assert p.shape == (8, 2) and n == 5
