@@ -124,7 +124,25 @@ def block_randomness(
     row (no zero), rc1 (zero ok), rc2 (zero ok) — matching both the plain
     keystream (pasta_3_plain.cpp:198-217) and the transcipher
     (pasta_3_seal.cpp:128-147) consumption order.
+
+    Uses the native C++ expansion (hhe_tpu.native) when available; the pure-
+    Python path below is the semantic reference (both are golden-tested).
     """
+    try:
+        from .. import native
+
+        if native.available():
+            m1, m2, r1, r2 = native.pasta_block_randomness(p, nonce, block_counter)
+            for a in (m1, m2, r1, r2):
+                a.setflags(write=False)
+            return (
+                tuple(m1[r] for r in range(PASTA_R + 1)),
+                tuple(m2[r] for r in range(PASTA_R + 1)),
+                tuple(r1[r] for r in range(PASTA_R + 1)),
+                tuple(r2[r] for r in range(PASTA_R + 1)),
+            )
+    except Exception:
+        pass
     stream = ShakeStream(_shake_seed(nonce, block_counter))
     mats1, mats2, rcs1, rcs2 = [], [], [], []
     for _ in range(PASTA_R + 1):
