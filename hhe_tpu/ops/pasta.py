@@ -184,9 +184,16 @@ def keystream(key: np.ndarray, p: int, nonce: int, block_counter: int) -> np.nda
     s1 = key[:PASTA_T].copy()
     s2 = key[PASTA_T:].copy()
 
+    big = int(p).bit_length() * 2 + 7 > 64  # 128-term dot overflows u64?
+
+    def matvec(m, v):
+        if big:
+            return (m.astype(object) @ v.astype(object) % int(p)).astype(np.uint64)
+        return (m @ v) % pu
+
     def linear_layer(s1, s2, r):
-        s1 = (mats1[r] @ s1) % pu
-        s2 = (mats2[r] @ s2) % pu
+        s1 = (matvec(mats1[r], s1)) % pu
+        s2 = (matvec(mats2[r], s2)) % pu
         s1 = (s1 + rcs1[r]) % pu
         s2 = (s2 + rcs2[r]) % pu
         tot = (s1 + s2) % pu  # mix = (2 1; 1 2), pasta_3_plain.cpp:254-262
