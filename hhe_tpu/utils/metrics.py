@@ -1,0 +1,92 @@
+"""Observability: timing, communication-cost metering, noise tracking.
+
+Reference equivalents: ``utils::print_time`` (utils.cpp:81-86), the MB-size
+accounting in ``sealhelper.cpp:279-371`` / ``pastahelper.cpp:399-411``
+(he_pk_key_size / he_key_size / enc_weight_bias_size / he_vec_size /
+sym_enc_data_size), and the per-edge communication report in
+``hhe_pktnn_examples.cpp:373-380``.  Noise budgets come from
+``Context.noise_budget`` (the ``invariant_noise_budget`` equivalent).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Dict, Iterable, List, Optional
+
+import numpy as np
+
+from ..ops import bfv
+from . import serial
+
+MB = 1024.0 * 1024.0
+
+
+def size_mb(payload: bytes) -> float:
+    return len(payload) / MB
+
+
+def he_pk_size(pk: bfv.PublicKey) -> float:
+    """Public key size in MB (reference he_pk_key_size)."""
+    return size_mb(serial.dump_public_key(pk))
+
+
+def he_key_size(
+    rk: Optional[bfv.KSwitchKey] = None, gks: Optional[dict] = None
+) -> float:
+    """Relin + galois evaluation key sizes in MB (reference he_key_size)."""
+    total = 0.0
+    if rk is not None:
+        total += size_mb(serial.dump_kswitch(rk))
+    if gks:
+        total += size_mb(serial.dump_galois_keys(gks))
+    return total
+
+
+def he_vec_size(cts: Iterable[bfv.Ciphertext]) -> float:
+    """Serialized ciphertext vector size in MB (reference he_vec_size)."""
+    return sum(size_mb(serial.dump_ciphertext(ct)) for ct in cts)
+
+
+def sym_enc_data_size(records: np.ndarray, bits_per_word: int = 8) -> float:
+    """PASTA ciphertext payload size in MB, counting 8 bytes per word as the
+    reference's uint64 wire format does (reference sym_enc_data_size,
+    pastahelper.cpp:399-411)."""
+    return np.asarray(records).size * 8 / MB
+
+
+class CommLedger:
+    """Per-protocol-edge communication cost accumulator (reference
+    hhe_pktnn_examples.cpp:373-380 report)."""
+
+    def __init__(self):
+        self.edges: Dict[str, float] = {}
+
+    def add(self, edge: str, mb: float):
+        self.edges[edge] = self.edges.get(edge, 0.0) + mb
+
+    def report(self) -> Dict[str, float]:
+        return dict(self.edges)
+
+
+class Timer:
+    """Accumulating wall-clock timer per phase (reference chrono usage)."""
+
+    def __init__(self):
+        self.phases: Dict[str, float] = {}
+
+    @contextlib.contextmanager
+    def phase(self, name: str):
+        t0 = time.time()
+        try:
+            yield
+        finally:
+            self.phases[name] = self.phases.get(name, 0.0) + time.time() - t0
+
+    def report_ms(self) -> Dict[str, float]:
+        return {k: v * 1e3 for k, v in self.phases.items()}
+
+
+def print_time(name: str, ms: float) -> str:
+    """Format like reference utils::print_time."""
+    return f"{name}: {ms:.0f} (ms) = {ms/1e3:.3f} (s) = {ms/6e4:.3f} (min)"
