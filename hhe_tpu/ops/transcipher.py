@@ -35,7 +35,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from . import bfv, bfv_eval, ntt, pasta
+from . import bfv, bfv_eval, ntt, pasta, rns
 from .bfv import Ciphertext, Context, KSwitchKey, PublicKey
 from .modular import add_mod, mont_mul, neg_mod
 
@@ -113,7 +113,9 @@ class Transcipher:
         self.feistel_mask = ctx.plain_for_mul(ctx.encode(mask))
         self._pt_cache: Dict[Tuple[int, int], Tuple[jnp.ndarray, jnp.ndarray]] = {}
         self._ks_cache: Dict[Tuple[int, int, int], Ciphertext] = {}
+        self._build_expand_consts()
         self._jit_keystream = jax.jit(self._keystream_impl)
+        self._jit_keystream_seeded = jax.jit(self._keystream_seeded_impl)
 
     # ------------------------------------------------------------------
     # Key encryption (reference encrypt_key_2 / pastahelper::encrypt_symmetric_key)
@@ -127,6 +129,122 @@ class Transcipher:
         vec[:T] = key[:T]
         vec[half : half + T] = key[T:]
         return self.ctx.encrypt(pk, self.ctx.encode(vec))
+
+    # ------------------------------------------------------------------
+    # Device-side round-material expansion (seeded)
+    #
+    # The 4 rounds x 2 states x 128x128 SHAKE matrices become ~430 MB of
+    # plaintext diagonals at N=16384 when precomputed on the host — per
+    # block.  Instead only the SHAKE *first rows* (4x2x128 words) cross the
+    # host->device boundary; the sequential matrix recurrence, diagonal
+    # extraction, BSGS pre-rotation, slot encoding and NTT lifting to q ∪ P
+    # all run inside the jitted keystream (reference semantics:
+    # pasta_3_plain.cpp:86-110 recurrence; pasta_3_seal.cpp:278-330 packing).
+    # ------------------------------------------------------------------
+
+    def _build_expand_consts(self):
+        ctx = self.ctx
+        half, n = ctx.n // 2, ctx.n
+        i_idx = np.arange(T)[:, None]
+        j_idx = np.arange(T)[None, :]
+        self._diag_sel = jnp.asarray((j_idx + T - i_idx) % T)  # [T(i), T(j)]
+        roll = (i_idx // BSGS_N1) * BSGS_N1 if self.use_bsgs else np.zeros_like(i_idx)
+        tgt0 = (j_idx - roll) % half  # slot within row 0
+        self._scatter_rows = jnp.asarray(np.broadcast_to(i_idx, (T, T)))
+        self._scatter_cols0 = jnp.asarray(tgt0)
+        self._scatter_cols1 = jnp.asarray(tgt0 + half)
+        # encoder inverse permutation: poly_br = slots[inv_map]
+        inv_map = np.empty(n, np.int64)
+        inv_map[ctx.encoder_map] = np.arange(n)
+        self._enc_inv_map = jnp.asarray(inv_map)
+        self._tb_t = ntt.build_tables((ctx.t,), n)
+
+    def _expand_round_mats(self, first_rows: jnp.ndarray) -> jnp.ndarray:
+        """first_rows u32 [8, T] (4 rounds x (mat1, mat2)) -> NTT+Mont
+        plaintext diagonals over q ∪ P: [4, T, k+1, N]."""
+        ctx = self.ctx
+        t_q = self._tb_t.q  # [1,1]
+        t_qi = self._tb_t.qinv_neg
+        t_r2 = self._tb_t.r2
+
+        first_m = mont_mul(first_rows, t_r2[0], t_q[0], t_qi[0])  # Mont domain
+
+        def row_step(prev, _):
+            # row[j] = first[j]*prev[T-1] + prev[j-1]  (mod t)
+            last = prev[:, T - 1 : T]  # [8,1]
+            prod = mont_mul(first_m, last, t_q[0], t_qi[0])
+            shifted = jnp.concatenate(
+                [jnp.zeros((8, 1), jnp.uint32), prev[:, :-1]], axis=1
+            )
+            row = add_mod(prod, shifted, t_q[0])
+            return row, row
+
+        _, rows = lax.scan(row_step, first_rows, None, length=T - 1)
+        mats = jnp.concatenate([first_rows[None], rows], 0)  # [T(row), 8, T(col)]
+        mats = jnp.transpose(mats, (1, 0, 2))  # [8, T, T]
+
+        # diagonals: d[s, i, j] = mats[s, j, (j+T-i)%T]
+        d = mats[
+            jnp.arange(8)[:, None, None],
+            jnp.arange(T)[None, None, :],
+            self._diag_sel[None, :, :],
+        ]  # [8, T(i), T(j)]
+        m1 = d[0::2]  # [4, T, T] rounds' mat1 diagonals
+        m2 = d[1::2]
+        # scatter into slot rows with BSGS pre-rotation
+        sl1 = jnp.zeros((4, T, ctx.n), jnp.uint32).at[
+            :, self._scatter_rows, self._scatter_cols0
+        ].set(m1)
+        sl2 = jnp.zeros((4, T, ctx.n), jnp.uint32).at[
+            :, self._scatter_rows, self._scatter_cols1
+        ].set(m2)
+        slot_vecs = add_mod(sl1, sl2, t_q[0])  # disjoint supports -> combine
+
+        # encode: slots -> bit-reversed order -> inverse NTT mod t
+        poly_br = jnp.take(slot_vecs, self._enc_inv_map, axis=-1)
+        poly = ntt.ntt_inv(poly_br[..., None, :], self._tb_t)[..., 0, :]  # [4,T,N] mod t
+
+        # lift to q ∪ P: reduce, forward NTT, to Montgomery
+        pq = ctx.tb_qp.q
+        lifted = rns.reduce_u32(poly[..., None, :], pq)  # [4, T, k+1, N]
+        f = ntt.ntt_fwd(lifted, ctx.tb_qp)
+        return ntt.to_mont(f, ctx.tb_qp)
+
+    def block_first_rows(self, nonce: int, b: int) -> jnp.ndarray:
+        """Host: the tiny SHAKE seed material [8, T] u32 for one block."""
+        mats1, mats2, _, _ = pasta.block_randomness(self.ctx.t, nonce, b)
+        out = np.empty((8, T), np.uint32)
+        for r in range(4):
+            out[2 * r] = mats1[r][0]
+            out[2 * r + 1] = mats2[r][0]
+        return jnp.asarray(out)
+
+    def block_rcs(self, nonce: int, b: int) -> jnp.ndarray:
+        """Host: scaled round-constant plaintexts [4, k, N] (small)."""
+        ctx = self.ctx
+        half = ctx.n // 2
+        _, _, rcs1, rcs2 = pasta.block_randomness(ctx.t, nonce, b)
+        rc_vecs = np.zeros((4, half + T), np.uint64)
+        for r in range(4):
+            rc_vecs[r, :T] = rcs1[r]
+            rc_vecs[r, half : half + T] = rcs2[r]
+        return ctx.plain_for_add_batch(ctx.encode_batch(rc_vecs))
+
+    def _keystream_seeded_impl(self, key_data, first_rows, rcs_pt, keys):
+        """Keystream with on-device round-material expansion."""
+        mats_qp = self._expand_round_mats(first_rows)  # [4, T, k+1, N]
+        mats_q = mats_qp[..., : self.ctx.k, :]
+        st = Ciphertext(key_data)
+        for r in range(4):
+            m_r = (mats_q[r], mats_qp[r]) if self.use_bsgs else mats_q[r]
+            st = self._matmul(st, m_r, keys)
+            st = bfv_eval.add_plain(self.ctx, st, rcs_pt[r])
+            st = self._mix(st, keys)
+            if r < 2:
+                st = self._sbox_feistel(st, keys)
+            elif r == 2:
+                st = bfv_eval.exponentiate(self.ctx, st, 3, keys[0])
+        return st.data
 
     # ------------------------------------------------------------------
     # Host-precomputed per-block plaintext material
@@ -339,14 +457,30 @@ class Transcipher:
     # Public API
     # ------------------------------------------------------------------
 
-    def keystream_ct(self, enc_key: Ciphertext, nonce: int, b: int) -> Ciphertext:
-        """BFV ciphertext of the PASTA keystream for block b (cached)."""
+    def keystream_ct(
+        self,
+        enc_key: Ciphertext,
+        nonce: int,
+        b: int,
+        expand_on_device: bool = True,
+    ) -> Ciphertext:
+        """BFV ciphertext of the PASTA keystream for block b (cached).
+
+        With expand_on_device (default) only ~4 KB of SHAKE seed material
+        crosses the host->device boundary; the plaintext diagonals are
+        expanded inside the jitted keystream."""
         ck = (id(enc_key.data), nonce, b)
         if ck not in self._ks_cache:
-            mats_pt, rcs_pt = self.block_plaintexts(nonce, b)
-            self._ks_cache[ck] = Ciphertext(
-                self._jit_keystream(enc_key.data, mats_pt, rcs_pt, self._keys())
-            )
+            if expand_on_device:
+                first_rows = self.block_first_rows(nonce, b)
+                rcs_pt = self.block_rcs(nonce, b)
+                out = self._jit_keystream_seeded(
+                    enc_key.data, first_rows, rcs_pt, self._keys()
+                )
+            else:
+                mats_pt, rcs_pt = self.block_plaintexts(nonce, b)
+                out = self._jit_keystream(enc_key.data, mats_pt, rcs_pt, self._keys())
+            self._ks_cache[ck] = Ciphertext(out)
         return self._ks_cache[ck]
 
     def decompose(
