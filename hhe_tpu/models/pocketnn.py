@@ -131,6 +131,17 @@ def plu(x, k=K_BIT, fan_in=0):
     return out, gi
 
 
+def pocket_softmax(x, k=K_BIT, fan_in=0):
+    """Rowwise integer softmax: clamp nonpositives to 0, rescale rows to sum
+    ~INT_MAX (reference pktactv::pocketSoftmax, pktnn_actv.cpp:283-330)."""
+    pos = jnp.maximum(x, 0)
+    row_sum = jnp.maximum(pos.sum(axis=-1, keepdims=True), 1)
+    scale = div_trunc(jnp.full_like(row_sum, INT_MAX), row_sum)
+    out = pos * scale
+    gi = jnp.where(out == 0, INT_MAX, 1).astype(x.dtype)
+    return out, gi
+
+
 def as_is(x, k=K_BIT, fan_in=0):
     return x, jnp.ones_like(x)
 
@@ -146,6 +157,7 @@ ACTIVATIONS = {
     "pocket_relu8bit": pocket_relu8bit,
     "pocket_leakyrelu": pocket_leakyrelu,
     "plu": plu,
+    "pocket_softmax": pocket_softmax,
     "as_is": as_is,
     "square": square,
 }
@@ -240,6 +252,19 @@ def batch_l2_loss_delta(y, y_hat):
     return y_hat - y
 
 
+def batch_pocket_cross_loss(y_onehot_intmax, y_hat):
+    """Reference batchPocketCrossLoss: sum of (INT_MAX - y_hat) at one-hot
+    positions marked INT_MAX (pktnn_loss.cpp:74-88)."""
+    mask = y_onehot_intmax == INT_MAX
+    # float accumulator: per-item terms are ~2^31 and int32 would overflow
+    return jnp.sum(jnp.where(mask, (INT_MAX - y_hat).astype(jnp.float64), 0.0))
+
+
+def batch_pocket_cross_loss_delta(y_onehot_intmax, y_hat):
+    """Reference batchPocketCrossLossDelta: -1 at one-hot positions."""
+    return jnp.where(y_onehot_intmax == INT_MAX, -1, 0).astype(jnp.int32)
+
+
 # ---------------------------------------------------------------------------
 # DFA training step over a stack of FC layers
 # ---------------------------------------------------------------------------
@@ -278,14 +303,24 @@ def dfa_train_step(
     computeDeltas, pktnn_fc.cpp:180-343). x [B,in] int32, y [B,n_classes]."""
     y_hat, caches = mlp_forward(model, specs, x)
     loss_delta = batch_l2_loss_delta(y, y_hat)  # [B, n_classes]
-    new_params = []
     n_layers = len(model.params)
+    # deltas, last layer backwards (BP layers need the next layer's deltas:
+    # reference computeDeltas, pktnn_fc.cpp:241-343)
+    deltas_list = [None] * n_layers
+    for li in range(n_layers - 1, -1, -1):
+        p, s = model.params[li], specs[li]
+        gi = caches[li][2]
+        if li == n_layers - 1:
+            deltas_list[li] = div_trunc(loss_delta, gi)
+        elif s.use_dfa:
+            deltas_list[li] = div_trunc(loss_delta @ p.dfa, gi)
+        else:  # vanilla backprop through the next layer's weights
+            nxt = model.params[li + 1].weight
+            deltas_list[li] = div_trunc(deltas_list[li + 1] @ nxt.T, gi)
+    new_params = []
     for li, (p, s) in enumerate(zip(model.params, specs)):
         x_in, _, gi = caches[li]
-        if li == n_layers - 1:
-            deltas = div_trunc(loss_delta, gi)
-        else:
-            deltas = div_trunc(loss_delta @ p.dfa, gi)
+        deltas = deltas_list[li]
         wu = div_trunc(x_in.T @ deltas, -lr_inv)
         bu = div_trunc(
             jnp.ones((1, x_in.shape[0]), jnp.int32) @ deltas, -lr_inv

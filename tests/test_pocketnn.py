@@ -93,3 +93,50 @@ def test_reference_weight_loading():
     w = pk.read_csv_matrix(ref)
     assert w.shape == (300, 1)
     assert w.min() >= -127 and w.max() <= 128
+
+
+def test_pocket_softmax():
+    x = jnp.asarray([[-5, 0, 10, 30]], jnp.int32)
+    out, gi = pk.pocket_softmax(x)
+    assert np.asarray(out)[0, 0] == 0 and np.asarray(out)[0, 1] == 0
+    scale = pk.INT_MAX // 40
+    assert np.asarray(out)[0, 2] == 10 * scale
+    assert np.asarray(gi)[0, 0] == pk.INT_MAX and np.asarray(gi)[0, 3] == 1
+
+
+def test_pocket_cross_loss():
+    y = np.zeros((2, 3), np.int64)
+    y[0, 1] = pk.INT_MAX
+    y[1, 2] = pk.INT_MAX
+    yh = jnp.asarray([[1, 5, 2], [0, 0, 7]], jnp.int32)
+    got = float(pk.batch_pocket_cross_loss(jnp.asarray(y), yh))
+    expect = float(pk.INT_MAX - 5) + float(pk.INT_MAX - 7)
+    assert abs(got - expect) <= 1024  # float32 accumulator granularity
+    d = np.asarray(pk.batch_pocket_cross_loss_delta(jnp.asarray(y), yh))
+    assert d[0, 1] == -1 and d[1, 2] == -1 and d[0, 0] == 0
+
+
+def test_backprop_mode_learns():
+    """Vanilla BP (use_dfa=False for hidden layer) on the toy task
+    (reference fc_int_bp_simple, pktnn_examples.cpp:5-62)."""
+    rng = np.random.default_rng(4)
+    n, d = 128, 8
+    x = rng.integers(-20, 20, (n, d)).astype(np.int32)
+    w_true = rng.integers(-3, 4, (d, 1)).astype(np.int32)
+    y = ((x @ w_true > 0) * 128).astype(np.int32)
+    specs = [
+        pk.FCSpec(d, 8, "pocket_tanh", use_dfa=False),
+        pk.FCSpec(8, 1, "pocket_sigmoid", use_dfa=False),
+    ]
+    model, specs = pk.mlp_init(2, specs, he_init=True)
+    first = last = None
+    for _ in range(15):
+        total = 0.0
+        for i in range(0, n, 4):
+            model, loss = pk.dfa_train_step(
+                model, specs, jnp.asarray(x[i : i + 4]), jnp.asarray(y[i : i + 4]), 50
+            )
+            total += float(loss)
+        first = total if first is None else first
+        last = total
+    assert last < first
