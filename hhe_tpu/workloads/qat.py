@@ -1,0 +1,136 @@
+"""Quantization-aware training producing HHE-ready integer weights.
+
+Equivalent of the reference's brevitas QAT subsystem (``qat/src/mnist.py``,
+``qat/notebooks/*_fc_train.ipynb``): trains the 2FC MNIST/FMNIST model with
+low-bit symmetric weight fake-quantization (straight-through estimator) and a
+**square** activation (``SquareAct``, reference qat/src/mnist.py:27-32), then
+exports integer weight CSVs consumed by the encrypted pipeline — the same
+artifact format as ``weights/mnist/qat/*_weights_fc{1,2}.csv``.
+
+Inputs are quantized to 2 bits as in the reference
+(``qat/src/export_weights_mnist_py.py:47``: int(x*4)).
+
+Uses torch (CPU) — brevitas itself is not required.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import numpy as np
+
+try:
+    import torch
+    import torch.nn as nn
+
+    TORCH = True
+except Exception:  # pragma: no cover
+    TORCH = False
+
+from ..models import pocketnn
+
+
+if TORCH:
+
+    class _FakeQuant(torch.autograd.Function):
+        """Symmetric per-tensor weight quantizer with STE backward."""
+
+        @staticmethod
+        def forward(ctx, w, bits):
+            qmax = 2 ** (bits - 1) - 1
+            scale = w.abs().max().clamp(min=1e-8) / qmax
+            w_int = torch.clamp(torch.round(w / scale), -qmax, qmax)
+            ctx.save_for_backward(torch.tensor(0.0))
+            return w_int * scale
+
+        @staticmethod
+        def backward(ctx, g):
+            return g, None
+
+    class QuantLinear(nn.Module):
+        def __init__(self, in_f, out_f, bits=2):
+            super().__init__()
+            self.weight = nn.Parameter(torch.randn(in_f, out_f) * 0.05)
+            self.bits = bits
+
+        def forward(self, x):
+            return x @ _FakeQuant.apply(self.weight, self.bits)
+
+        def int_weight(self) -> np.ndarray:
+            with torch.no_grad():
+                qmax = 2 ** (self.bits - 1) - 1
+                scale = self.weight.abs().max().clamp(min=1e-8) / qmax
+                return (
+                    torch.clamp(torch.round(self.weight / scale), -qmax, qmax)
+                    .numpy()
+                    .astype(np.int64)
+                )
+
+    class Quant2FCSquare(nn.Module):
+        """784 -> hidden -> square -> 10 (reference quant_2fc_* models)."""
+
+        def __init__(self, in_dim=784, hidden=128, n_classes=10, bits=2):
+            super().__init__()
+            self.fc1 = QuantLinear(in_dim, hidden, bits)
+            self.fc2 = QuantLinear(hidden, n_classes, bits)
+
+        def forward(self, x):
+            h = self.fc1(x)
+            return self.fc2(h * h)  # SquareAct
+
+
+@dataclasses.dataclass
+class QATResult:
+    w1_int: np.ndarray  # [in_dim, hidden]
+    w2_int: np.ndarray  # [hidden, n_classes]
+    float_acc: float
+    int_acc: float
+
+
+def train_quant_2fc(
+    x: np.ndarray,
+    y: np.ndarray,
+    x_test: np.ndarray,
+    y_test: np.ndarray,
+    hidden: int = 128,
+    bits: int = 2,
+    epochs: int = 5,
+    lr: float = 1e-3,
+    batch: int = 64,
+    seed: int = 0,
+    export_prefix: Optional[str] = None,
+) -> QATResult:
+    """x: [n, 784] 2-bit-quantized ints (0..4); y: labels."""
+    assert TORCH, "torch unavailable"
+    torch.manual_seed(seed)
+    model = Quant2FCSquare(x.shape[1], hidden, int(y.max()) + 1, bits)
+    opt = torch.optim.Adam(model.parameters(), lr=lr)
+    xt = torch.tensor(x, dtype=torch.float32)
+    yt = torch.tensor(y, dtype=torch.long)
+    lossf = nn.CrossEntropyLoss()
+    n = len(xt)
+    for _ in range(epochs):
+        perm = torch.randperm(n)
+        for i in range(0, n, batch):
+            sel = perm[i : i + batch]
+            opt.zero_grad()
+            out = model(xt[sel])
+            loss = lossf(out / out.abs().max().clamp(min=1e-8), yt[sel])
+            loss.backward()
+            opt.step()
+
+    with torch.no_grad():
+        fl = model(torch.tensor(x_test, dtype=torch.float32)).argmax(1).numpy()
+    float_acc = float(np.mean(fl == y_test))
+
+    w1 = model.fc1.int_weight()
+    w2 = model.fc2.int_weight()
+    v1 = x_test.astype(np.int64) @ w1
+    logits = (v1 * v1) @ w2
+    int_acc = float(np.mean(logits.argmax(1) == y_test))
+
+    if export_prefix:
+        pocketnn.save_csv_matrix(f"{export_prefix}_fc1.csv", w1)
+        pocketnn.save_csv_matrix(f"{export_prefix}_fc2.csv", w2)
+    return QATResult(w1, w2, float_acc, int_acc)
