@@ -36,37 +36,12 @@ def _get_stack(n, limbs):
     from hhe_tpu.ops import bfv, transcipher
 
     ctx = bfv.Context(bfv.BFVParams(n=n, data_limbs=limbs, seed=1))
-    cache_f = CACHE / f"keys_n{n}_k{limbs}_v2.npz"
-    elt_list = transcipher.galois_elts(ctx)
-    if cache_f.exists():
-        z = np.load(cache_f)
-        import jax.numpy as jnp
-
-        sk = bfv.SecretKey(z["sk_small"], z["sk_q"])
-        pk = bfv.PublicKey(z["pk"])
-        rk = bfv.KSwitchKey(jnp.asarray(z["rk0"]), jnp.asarray(z["rk1"]))
-        gks = {
-            int(g): bfv.KSwitchKey(jnp.asarray(z[f"g{g}_0"]), jnp.asarray(z[f"g{g}_1"]))
-            for g in z["elts"]
-        }
-    else:
-        sk = ctx.keygen_secret()
-        pk = ctx.keygen_public(sk)
-        rk = ctx.keygen_relin(sk)
-        gks = ctx.keygen_galois(sk, elt_list)
-        CACHE.mkdir(exist_ok=True)
-        save = {
-            "sk_small": sk.s_small,
-            "sk_q": sk.s_q,
-            "pk": pk.data,
-            "rk0": np.asarray(rk.k0),
-            "rk1": np.asarray(rk.k1),
-            "elts": np.asarray(sorted(gks)),
-        }
-        for g, kk in gks.items():
-            save[f"g{g}_0"] = np.asarray(kk.k0)
-            save[f"g{g}_1"] = np.asarray(kk.k1)
-        np.savez(cache_f, **save)
+    sk = ctx.keygen_secret()
+    pk = ctx.keygen_public(sk)
+    # evaluation keys generated on-device (nothing large crosses the tunnel)
+    rk, gks = ctx.keygen_eval_keys_device(
+        sk, transcipher.galois_elts(ctx), include_relin=True, seed=1
+    )
     tc = transcipher.Transcipher(ctx, rk, gks)
     return ctx, sk, pk, tc
 

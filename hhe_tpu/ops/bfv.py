@@ -318,6 +318,105 @@ class Context:
         return out
 
     # ------------------------------------------------------------------
+    # Device-side evaluation-key generation
+    #
+    # Generating relin+galois keys on the host means shipping ~50 MB per key
+    # to the device (1+ GB for a BSGS transcipher key set).  Instead the
+    # uniform/CBD randomness comes from the device PRNG and the polynomial
+    # algebra runs as device NTTs; nothing large crosses the host boundary.
+    # ------------------------------------------------------------------
+
+    def keygen_eval_keys_device(
+        self,
+        sk: SecretKey,
+        galois_elts: Sequence[int] = (),
+        include_relin: bool = True,
+        seed: int = 0,
+    ):
+        """Returns (relin_key | None, {elt: galois_key}) generated on device."""
+        import jax
+
+        from . import bfv_eval as _be  # ntt_galois_src (no circular import at call time)
+
+        pq_mods = self.base_qp.moduli
+        kp = len(pq_mods)
+        kd = self.k
+        n = self.n
+        tb = self.tb_qp
+        s_rns = jnp.asarray(
+            self._small_to_rns(sk.s_small, pq_mods).astype(np.uint32)
+        )
+        fs = ntt.ntt_fwd(s_rns, tb)  # [k+1, N] std domain
+        fs_mont = ntt.to_mont(fs, tb)
+
+        targets = []
+        labels = []
+        if include_relin:
+            targets.append(modular.mont_mul(fs, fs_mont, tb.q, tb.qinv_neg))
+            labels.append("relin")
+        for g in galois_elts:
+            src = jnp.asarray(_be.ntt_galois_src(self, int(g)))
+            targets.append(jnp.take(fs, src, axis=-1))
+            labels.append(int(g))
+        if not targets:
+            return None, {}
+        tf = jnp.stack(targets)  # [Tg, k+1, N] NTT std
+
+        # P * unit_j mod m, Montgomery form: [kd, k+1, 1]
+        factor = np.zeros((kd, kp, 1), np.uint32)
+        for j in range(kd):
+            for i, m in enumerate(pq_mods):
+                v = (self.p_special % m) * int(self.unit_mod_qp[j, i]) % m
+                factor[j, i, 0] = modular.to_mont_host(np.uint64(v), m)
+        factor = jnp.asarray(factor)
+
+        key = jax.random.PRNGKey(seed ^ 0x5EED)
+        k_a, k_e1, k_e2 = jax.random.split(key, 3)
+        tg = len(targets)
+
+        @jax.jit
+        def gen(tf, fs_mont, factor):
+            # uniform a per modulus
+            a_cols = []
+            for i, m in enumerate(pq_mods):
+                a_cols.append(
+                    jax.random.randint(
+                        jax.random.fold_in(k_a, i), (tg, kd, 1, n), 0, int(m),
+                        dtype=jnp.uint32,
+                    )
+                )
+            a = jnp.concatenate(a_cols, axis=2)  # [Tg, kd, k+1, N]
+            # CBD(20) error via popcounts of 20-bit masks
+            r1 = jax.random.bits(k_e1, (tg, kd, n), jnp.uint32) & jnp.uint32(0xFFFFF)
+            r2 = jax.random.bits(k_e2, (tg, kd, n), jnp.uint32) & jnp.uint32(0xFFFFF)
+            e = jax.lax.population_count(r1).astype(jnp.int32) - jax.lax.population_count(
+                r2
+            ).astype(jnp.int32)  # [Tg, kd, N] in [-20, 20]
+            qcol = tb.q.reshape(1, 1, kp, 1).astype(jnp.int32)
+            e_rns = jnp.where(
+                e[:, :, None, :] < 0, e[:, :, None, :] + qcol, e[:, :, None, :]
+            ).astype(jnp.uint32)
+            fa = ntt.ntt_fwd(a, tb)
+            fe = ntt.ntt_fwd(e_rns, tb)
+            as_f = modular.mont_mul(fa, fs_mont, tb.q, tb.qinv_neg)
+            payload = modular.mont_mul(tf[:, None], factor, tb.q, tb.qinv_neg)
+            k0 = modular.sub_mod(
+                payload, modular.add_mod(as_f, fe, tb.q), tb.q
+            )
+            return ntt.to_mont(k0, tb), ntt.to_mont(fa, tb)
+
+        k0_all, k1_all = gen(tf, fs_mont, factor)
+        out_rk = None
+        gks = {}
+        for idx, lab in enumerate(labels):
+            ksk = KSwitchKey(k0_all[idx], k1_all[idx])
+            if lab == "relin":
+                out_rk = ksk
+            else:
+                gks[lab] = ksk
+        return out_rk, gks
+
+    # ------------------------------------------------------------------
     # Galois utilities
     # ------------------------------------------------------------------
 

@@ -121,3 +121,20 @@ def test_cube(ctx, keys):
     assert np.array_equal(
         ctx.decode(ctx.decrypt(sk, cube)), (a * a % ctx.t) * a % ctx.t
     )
+
+
+def test_device_keygen_eval_keys(ctx, keys):
+    """Relin + galois keys generated entirely on device decrypt-parity with
+    host-generated ones (rotation + relinearized square)."""
+    sk, pk = keys
+    g = ctx.galois_elt_from_step(2)
+    rk, gks = ctx.keygen_eval_keys_device(sk, [g], include_relin=True, seed=9)
+    v = rand_slots(ctx, 20)
+    ct = ctx.encrypt(pk, ctx.encode(v))
+    half = ctx.n // 2
+    out = ctx.decode(ctx.decrypt(sk, bfv_eval.rotate_rows(ctx, ct, 2, gks)))
+    expect = np.roll(v.reshape(2, half), -2, axis=1).reshape(-1) % ctx.t
+    assert np.array_equal(out, expect)
+    sq = bfv_eval.relinearize(ctx, bfv_eval.square(ctx, ct), rk)
+    assert ctx.noise_budget(sk, sq) > 0
+    assert np.array_equal(ctx.decode(ctx.decrypt(sk, sq)), (v * v) % ctx.t)
