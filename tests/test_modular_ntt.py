@@ -114,3 +114,24 @@ def test_ntt_batch_dims():
     one = ntt.ntt_fwd(jnp.asarray(x[0]), tb)
     batch = ntt.ntt_fwd(jnp.asarray(x), tb)
     np.testing.assert_array_equal(np.asarray(batch[0]), np.asarray(one))
+
+
+def test_mxu_ntt_matches_butterfly():
+    """Four-step MXU NTT (int8 digit matmuls) is exactly interchangeable with
+    the butterfly NTT, forward and inverse."""
+    import jax.numpy as jnp
+
+    from hhe_tpu.ops import ntt_mxu
+
+    n = 2048
+    mods = primes.ntt_primes(n, 30, 3)
+    tb = ntt.build_tables(mods, n)
+    tbm = ntt_mxu.build_tables(mods, n)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(np.stack([rng.integers(0, m, n) for m in mods]).astype(np.uint32))
+    f_bf = np.asarray(ntt.ntt_fwd(x, tb))
+    f_mx = np.asarray(ntt_mxu.ntt_fwd(x, tbm))
+    assert np.array_equal(f_bf, f_mx)
+    assert np.array_equal(
+        np.asarray(ntt_mxu.ntt_inv(jnp.asarray(f_mx), tbm)), np.asarray(x)
+    )
