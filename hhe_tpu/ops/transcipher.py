@@ -116,6 +116,7 @@ class Transcipher:
         self._build_expand_consts()
         self._jit_keystream = jax.jit(self._keystream_impl)
         self._jit_keystream_seeded = jax.jit(self._keystream_seeded_impl)
+        self._jit_expand = jax.jit(self._expand_round_mats)
 
     # ------------------------------------------------------------------
     # Key encryption (reference encrypt_key_2 / pastahelper::encrypt_symmetric_key)
@@ -471,17 +472,30 @@ class Transcipher:
         expanded inside the jitted keystream."""
         ck = (id(enc_key.data), nonce, b)
         if ck not in self._ks_cache:
-            if expand_on_device:
-                first_rows = self.block_first_rows(nonce, b)
-                rcs_pt = self.block_rcs(nonce, b)
-                out = self._jit_keystream_seeded(
-                    enc_key.data, first_rows, rcs_pt, self._keys()
-                )
-            else:
-                mats_pt, rcs_pt = self.block_plaintexts(nonce, b)
-                out = self._jit_keystream(enc_key.data, mats_pt, rcs_pt, self._keys())
+            mats_pt, rcs_pt = self.device_block_plaintexts(nonce, b, expand_on_device)
+            out = self._jit_keystream(enc_key.data, mats_pt, rcs_pt, self._keys())
             self._ks_cache[ck] = Ciphertext(out)
         return self._ks_cache[ck]
+
+    def device_block_plaintexts(
+        self, nonce: int, b: int, expand_on_device: bool = True
+    ):
+        """Per-block plaintext material as device arrays, cached on device.
+
+        Seeded mode expands the diagonals on device (cached — the expansion
+        cost amortizes across all samples sharing the block)."""
+        if not expand_on_device:
+            return self.block_plaintexts(nonce, b)
+        ck = ("dev", nonce, b)
+        if ck not in self._pt_cache:
+            mats_qp = self._jit_expand(self.block_first_rows(nonce, b))
+            mats = (
+                (mats_qp[..., : self.ctx.k, :], mats_qp)
+                if self.use_bsgs
+                else mats_qp[..., : self.ctx.k, :]
+            )
+            self._pt_cache[ck] = (mats, self.block_rcs(nonce, b))
+        return self._pt_cache[ck]
 
     def decompose(
         self, enc_key: Ciphertext, sym_ct, nonce: int = pasta.NONCE
