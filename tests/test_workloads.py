@@ -45,6 +45,24 @@ def test_hhe_2fc_inference():
     assert np.array_equal(out["predictions"], expect)
 
 
+def test_hhe_1fc_real_spo2_assets(stack300):
+    """Full pipeline on the reference's real assets: SIESTA SpO2 recording +
+    shipped quantized weights (config.cpp:66), hard parity check."""
+    import os
+
+    from hhe_tpu.models import loaders, pocketnn as pknn
+
+    wpath = "/root/reference/weights/SpO2/qat/quant_fc_5bits_data_2bits_weights.csv"
+    if not os.path.exists(wpath):
+        pytest.skip("reference assets unavailable")
+    data = loaders.load_spo2_recording()[:2]
+    w = pknn.read_csv_matrix(wpath).reshape(-1)
+    out = wk.hhe_1fc_inference(stack300, w, data, check_parity=True)
+    expect = data.astype(np.int64) @ w
+    assert np.array_equal(out["raw"], expect)
+    assert set(np.unique(out["predictions"])) <= {0, 1}
+
+
 def test_hhe_ecg_inference(stack300):
     """ECG-style single-block pipeline: host sum + simple_pocket_sigmoid."""
     from hhe_tpu.models import pocketnn as pk
