@@ -71,10 +71,13 @@ def main():
     jax.block_until_ready(out)
     compile_s = time.time() - t0
 
+    # NB: each rep materializes a small slice of its result — on lazy/remote
+    # backends, results that are never consumed may never execute, which
+    # would make a block_until_ready(last)-style loop report fantasy numbers.
     t0 = time.time()
     for _ in range(reps):
         out = tc._jit_keystream(enc_key.data, mats_pt, rcs_pt, tc._keys())
-    jax.block_until_ready(out)
+        np.asarray(out[0, 0, :4])
     per_block = (time.time() - t0) / reps
 
     value = 1.0 / per_block

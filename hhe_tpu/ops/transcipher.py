@@ -44,19 +44,21 @@ BSGS_N1 = 16  # reference pasta_3_seal.h:34-35
 BSGS_N2 = 8
 
 
-def galois_elts(ctx: Context, use_bsgs: bool = True) -> List[int]:
+def galois_elts(
+    ctx: Context, use_bsgs: bool = True, n1: int = BSGS_N1, n2: int = BSGS_N2
+) -> List[int]:
     """Galois elements the transcipher needs (reference add_gk_indices,
     ``pasta_3_seal.cpp:190-201``): rotate -1, column swap, +T when the packing
     is not full, and — for the hoisted BSGS matmul — the babystep elements
-    -2..-15 and giantstep elements -16k."""
+    -1..-(n1-1) and giantstep elements -n1*k."""
     elts = {ctx.galois_elt_from_step(-1), 2 * ctx.n - 1}
     if ctx.n // 2 != T:
         elts.add(ctx.galois_elt_from_step(T))
     if use_bsgs:
-        for j in range(1, BSGS_N1):
+        for j in range(1, n1):
             elts.add(ctx.galois_elt_from_step(-j))
-        for k in range(1, BSGS_N2):
-            elts.add(ctx.galois_elt_from_step(-k * BSGS_N1))
+        for k in range(1, n2):
+            elts.add(ctx.galois_elt_from_step(-k * n1))
     return sorted(elts)
 
 
@@ -69,10 +71,14 @@ class Transcipher:
         rk: KSwitchKey,
         gks: Dict[int, KSwitchKey],
         use_bsgs: bool = True,
+        n1: int = BSGS_N1,
+        n2: int = BSGS_N2,
     ):
+        assert n1 * n2 == T, (n1, n2)
         self.ctx = ctx
         self.rk = rk
         self.gks_all = gks
+        self.n1, self.n2 = n1, n2
         self.g_neg1 = ctx.galois_elt_from_step(-1)
         self.g_cols = 2 * ctx.n - 1
         self.g_t = ctx.galois_elt_from_step(T) if ctx.n // 2 != T else None
@@ -80,32 +86,12 @@ class Transcipher:
         self.gk_cols = gks[self.g_cols]
         self.gk_t = gks[self.g_t] if self.g_t is not None else gks[self.g_neg1]
         self.use_bsgs = use_bsgs and all(
-            ctx.galois_elt_from_step(-j) in gks for j in range(1, BSGS_N1)
+            ctx.galois_elt_from_step(-j) in gks for j in range(1, n1)
         ) and all(
-            ctx.galois_elt_from_step(-k * BSGS_N1) in gks for k in range(1, BSGS_N2)
+            ctx.galois_elt_from_step(-k * n1) in gks for k in range(1, n2)
         )
         if self.use_bsgs:
-            baby = [gks[ctx.galois_elt_from_step(-j)] for j in range(1, BSGS_N1)]
-            # pre-stacked for the babystep lax.scan
-            self.baby_k0 = jnp.stack([b.k0 for b in baby])  # [N1-1, k, k+1, N]
-            self.baby_k1 = jnp.stack([b.k1 for b in baby])
-            self.giant_gks = tuple(
-                gks[ctx.galois_elt_from_step(-k * BSGS_N1)] for k in range(1, BSGS_N2)
-            )
-            self.baby_src = np.stack(
-                [
-                    bfv_eval.ntt_galois_src(ctx, ctx.galois_elt_from_step(-j))
-                    for j in range(1, BSGS_N1)
-                ]
-            )
-            self.giant_src = tuple(
-                bfv_eval.ntt_galois_src(ctx, ctx.galois_elt_from_step(-k * BSGS_N1))
-                for k in range(1, BSGS_N2)
-            )
-            self.giant_perm = tuple(
-                ctx.galois_perm(ctx.galois_elt_from_step(-k * BSGS_N1))
-                for k in range(1, BSGS_N2)
-            )
+            self._build_bsgs_keys(gks)
         half = ctx.n // 2
         mask = np.zeros(half + T, np.int64)
         mask[1:T] = 1
@@ -117,6 +103,60 @@ class Transcipher:
         self._jit_keystream = jax.jit(self._keystream_impl)
         self._jit_keystream_seeded = jax.jit(self._keystream_seeded_impl)
         self._jit_expand = jax.jit(self._expand_round_mats)
+
+    def _build_bsgs_keys(self, gks: Dict[int, KSwitchKey]):
+        """Precompute the batched BSGS material.
+
+        The babystep inner loop uses **permute-after-contraction**: since
+        galois automorphisms act on the NTT (evaluation) domain as pure index
+        permutations and the key-switch inner product is pointwise, for each
+        babystep rotation sigma_j
+
+            sum_d sigma_j(fd_d) * K_{j,d}  ==  sigma_j( sum_d fd_d * K'_{j,d} )
+
+        with K'_{j,d} = sigma_j^{-1}(K_{j,d}) precomputed here once.  The hot
+        path then gathers only the [k+1, N] contraction *results* instead of
+        the [kd, k+1, N] digit tensors — ~13x less gather volume (gathers,
+        not modular math, dominate on TPU).
+        """
+        ctx = self.ctx
+
+        def inv_permuted(elt: int) -> Tuple[jnp.ndarray, jnp.ndarray, np.ndarray]:
+            src = bfv_eval.ntt_galois_src(ctx, elt)
+            inv = jnp.asarray(np.argsort(src))
+            k = gks[elt]
+            return (
+                jnp.take(k.k0, inv, axis=-1),
+                jnp.take(k.k1, inv, axis=-1),
+                src,
+            )
+
+        baby = [inv_permuted(ctx.galois_elt_from_step(-j)) for j in range(1, self.n1)]
+        self.baby_k0 = jnp.stack([b[0] for b in baby])  # [n1-1, kd, k+1, N]
+        self.baby_k1 = jnp.stack([b[1] for b in baby])
+        ident = np.arange(ctx.n)
+        # row 0 = identity: used for the rot_f0 fan-out (j = 0 term included)
+        self.baby_srcs = jnp.asarray(
+            np.stack([ident] + [b[2] for b in baby])
+        )  # [n1, N]
+        giant = [
+            inv_permuted(ctx.galois_elt_from_step(-k * self.n1))
+            for k in range(1, self.n2)
+        ]
+        if giant:
+            self.giant_k0 = jnp.stack([g[0] for g in giant])
+            self.giant_k1 = jnp.stack([g[1] for g in giant])
+            self.giant_nsrc = jnp.asarray(np.stack([g[2] for g in giant]))
+            csrc, csign = [], []
+            for k in range(1, self.n2):
+                s, sg = ctx.galois_perm(ctx.galois_elt_from_step(-k * self.n1))
+                csrc.append(s)
+                csign.append(sg)
+            self.giant_csrc = jnp.asarray(np.stack(csrc))
+            self.giant_csign = jnp.asarray(np.stack(csign))
+        else:
+            self.giant_k0 = self.giant_k1 = None
+            self.giant_nsrc = self.giant_csrc = self.giant_csign = None
 
     # ------------------------------------------------------------------
     # Key encryption (reference encrypt_key_2 / pastahelper::encrypt_symmetric_key)
@@ -149,7 +189,7 @@ class Transcipher:
         i_idx = np.arange(T)[:, None]
         j_idx = np.arange(T)[None, :]
         self._diag_sel = jnp.asarray((j_idx + T - i_idx) % T)  # [T(i), T(j)]
-        roll = (i_idx // BSGS_N1) * BSGS_N1 if self.use_bsgs else np.zeros_like(i_idx)
+        roll = (i_idx // self.n1) * self.n1 if self.use_bsgs else np.zeros_like(i_idx)
         tgt0 = (j_idx - roll) % half  # slot within row 0
         self._scatter_rows = jnp.asarray(np.broadcast_to(i_idx, (T, T)))
         self._scatter_cols0 = jnp.asarray(tgt0)
@@ -278,10 +318,10 @@ class Transcipher:
             row1[:, :T] = d2
             if self.use_bsgs:
                 for i in range(T):
-                    kk = i // BSGS_N1
+                    kk = i // self.n1
                     if kk:
-                        row0[i] = np.roll(row0[i], -kk * BSGS_N1)
-                        row1[i] = np.roll(row1[i], -kk * BSGS_N1)
+                        row0[i] = np.roll(row0[i], -kk * self.n1)
+                        row1[i] = np.roll(row1[i], -kk * self.n1)
             diag_vecs[r, :, :half] = row0
             diag_vecs[r, :, half:] = row1
             rc_vecs[r, :T] = rcs1[r]
@@ -309,7 +349,16 @@ class Transcipher:
         re-keygen doesn't change the traced graph / bust the compile cache)."""
         base = (self.rk, self.gk_neg1, self.gk_t, self.gk_cols)
         if self.use_bsgs:
-            return base + ((self.baby_k0, self.baby_k1), self.giant_gks)
+            return base + (
+                (self.baby_k0, self.baby_k1, self.baby_srcs),
+                (
+                    self.giant_k0,
+                    self.giant_k1,
+                    self.giant_nsrc,
+                    self.giant_csrc,
+                    self.giant_csign,
+                ),
+            )
         return base
 
     def round_mats(self, mats, r: int):
@@ -341,88 +390,102 @@ class Transcipher:
 
     def _matmul_bsgs(self, st: Ciphertext, mats, keys) -> Ciphertext:
         """TPU-first babystep-giantstep matmul (reference babystep_giantstep,
-        ``pasta_3_seal.cpp:267-366``, N1=16 N2=8) with two key optimizations:
+        ``pasta_3_seal.cpp:267-366``) built around what the hardware profile
+        actually shows (gathers ~3 Gelem/s are the bottleneck; u32 Montgomery
+        math runs at ~70 Gelem/s):
 
         - **Hoisting**: the state's key-switch digit decomposition (the
-          expensive NTT set) is computed ONCE; each babystep rotation is then
-          just an NTT-domain slot permutation + key inner product.
-        - **Lazy mod-down**: babystep contributions accumulate over q ∪ P in
-          NTT domain and are divided by the special prime once per giantstep
-          group; giantstep contributions likewise accumulate and mod-down
-          once.  508 full key-switches/block become ~30 NTT passes.
+          expensive NTT set) is computed ONCE per matmul.
+        - **Permute-after-contraction**: babystep rotations permute the
+          [k+1, N] key-contraction results, not the [kd, k+1, N] digit
+          tensors (keys are inverse-permuted at setup) — ~13x less gather.
+        - **Full batching**: all n1 babysteps and all n2 giantstep groups run
+          as single fused tensor ops (no sequential scan), all giantstep
+          hoists run as one batched NTT.
+        - **Lazy mod-down**: key-switch contributions accumulate over q ∪ P
+          in NTT domain; one mod-down per giantstep group and one for the
+          giantstep sum.
         """
         ctx = self.ctx
-        mats_q, mats_qp = mats
+        n1, n2 = self.n1, self.n2
+        mats_q, mats_qp = mats  # [T, k, N], [T, k+1, N]
         gk_t = keys[2]
-        (baby_k0, baby_k1), giant_gks = keys[4], keys[5]
+        baby_k0, baby_k1, baby_srcs = keys[4]
+        giant_k0, giant_k1, giant_nsrc, giant_csrc, giant_csign = keys[5]
         q, qi = ctx.tb_q.q, ctx.tb_q.qinv_neg
         qp, qpi = ctx.tb_qp.q, ctx.tb_qp.qinv_neg
+        take_last = lambda x, s: jnp.take(x, s, axis=-1)  # noqa: E731
 
         if self.g_t is not None:
             st = bfv_eval.add(ctx, st, bfv_eval.apply_galois(ctx, st, self.g_t, gk_t))
 
         f0 = ntt.ntt_fwd(st.data[0], ctx.tb_q)
         f1 = ntt.ntt_fwd(st.data[1], ctx.tb_q)
-        fd = bfv_eval.hoist_digits(ctx, st.data[1])  # [k, k+1, N] NTT(qP)
-        baby_src = jnp.asarray(self.baby_src)  # [N1-1, N]
+        fd = bfv_eval.hoist_digits(ctx, st.data[1])  # [kd, k+1, N] NTT(qP)
 
-        inners = []
-        for kk in range(BSGS_N2):
-            # j = 0 term: unrotated state
-            acc0q = mont_mul(f0, mats_q[kk * BSGS_N1], q, qi)
-            acc1q = mont_mul(f1, mats_q[kk * BSGS_N1], q, qi)
+        # all n1 NTT-domain rotations of f0 at once (row 0 = identity)
+        rot_f0 = jax.vmap(take_last, (None, 0))(f0, baby_srcs)  # [n1, k, N]
 
-            def body(carry, xs):
-                a0q, a0p, a1p = carry
-                src, dq, dqp, bk0, bk1 = xs
-                a0q = add_mod(a0q, mont_mul(jnp.take(f0, src, axis=-1), dq, q, qi), q)
-                pfd = jnp.take(fd, src, axis=-1)
-                h0, h1 = bfv_eval.hoisted_ks_products(ctx, pfd, KSwitchKey(bk0, bk1))
-                a0p = add_mod(a0p, mont_mul(h0, dqp, qp, qpi), qp)
-                a1p = add_mod(a1p, mont_mul(h1, dqp, qp, qpi), qp)
-                return (a0q, a0p, a1p), None
+        # babystep key contractions in the unpermuted frame
+        def contract(fdig, k0s, k1s):
+            # fdig [..., kd, k+1, N]; k0s/k1s [J, kd, k+1, N] -> [J, k+1, N]
+            a0 = mont_mul(fdig[..., 0, :, :], k0s[:, 0], qp, qpi)
+            a1 = mont_mul(fdig[..., 0, :, :], k1s[:, 0], qp, qpi)
+            for d in range(1, ctx.k):
+                a0 = add_mod(a0, mont_mul(fdig[..., d, :, :], k0s[:, d], qp, qpi), qp)
+                a1 = add_mod(a1, mont_mul(fdig[..., d, :, :], k1s[:, d], qp, qpi), qp)
+            return a0, a1
 
-            z_qp = jnp.zeros((ctx.k + 1, ctx.n), jnp.uint32)
-            (acc0q, acc0p, acc1p), _ = lax.scan(
-                body,
-                (acc0q, z_qp, z_qp),
-                (
-                    baby_src,
-                    mats_q[kk * BSGS_N1 + 1 : (kk + 1) * BSGS_N1],
-                    mats_qp[kk * BSGS_N1 + 1 : (kk + 1) * BSGS_N1],
-                    baby_k0,
-                    baby_k1,
-                ),
-            )
-            i0 = add_mod(
-                ntt.ntt_inv(acc0q, ctx.tb_q),
-                bfv_eval.mod_down(ctx, ntt.ntt_inv(acc0p, ctx.tb_qp)),
-                q,
-            )
-            i1 = add_mod(
-                ntt.ntt_inv(acc1q, ctx.tb_q),
-                bfv_eval.mod_down(ctx, ntt.ntt_inv(acc1p, ctx.tb_qp)),
-                q,
-            )
-            inners.append((i0, i1))
+        b0, b1 = contract(fd, baby_k0, baby_k1)  # [n1-1, k+1, N]
+        h0 = jax.vmap(take_last)(b0, baby_srcs[1:])
+        h1 = jax.vmap(take_last)(b1, baby_srcs[1:])
 
-        # giantsteps: out = inner_0 + sum_k sigma_{-k*N1}(inner_k), with the
-        # key-switch sums lazily accumulated over q ∪ P.
-        out0, out1 = inners[0]
-        acc0p = acc1p = None
-        for kk in range(1, BSGS_N2):
-            i0, i1 = inners[kk]
-            srcc, sgn = self.giant_perm[kk - 1]
-            p0 = jnp.take(i0, jnp.asarray(srcc), axis=-1)
-            p0 = jnp.where(jnp.asarray(sgn), neg_mod(p0, q), p0)
-            out0 = add_mod(out0, p0, q)
-            fdk = bfv_eval.hoist_digits(ctx, i1)
-            pfd = jnp.take(fdk, jnp.asarray(self.giant_src[kk - 1]), axis=-1)
-            h0, h1 = bfv_eval.hoisted_ks_products(ctx, pfd, giant_gks[kk - 1])
-            acc0p = h0 if acc0p is None else add_mod(acc0p, h0, qp)
-            acc1p = h1 if acc1p is None else add_mod(acc1p, h1, qp)
-        out0 = add_mod(out0, bfv_eval.mod_down(ctx, ntt.ntt_inv(acc0p, ctx.tb_qp)), q)
-        out1 = add_mod(out1, bfv_eval.mod_down(ctx, ntt.ntt_inv(acc1p, ctx.tb_qp)), q)
+        dq = mats_q.reshape(n2, n1, ctx.k, ctx.n)
+        dqp = mats_qp.reshape(n2, n1, ctx.k + 1, ctx.n)
+
+        # q-part: acc0q[g] = sum_j rot_f0[j] * Dq[g, j]; raw c1 only at j = 0
+        acc0q = mont_mul(rot_f0[0][None], dq[:, 0], q, qi)
+        for j in range(1, n1):
+            acc0q = add_mod(acc0q, mont_mul(rot_f0[j][None], dq[:, j], q, qi), q)
+        acc1q = mont_mul(f1[None], dq[:, 0], q, qi)
+
+        # P-part: acc*p[g] = sum_{j>=1} H*[j] * Dqp[g, j], lazily over q ∪ P
+        acc0p = mont_mul(h0[0][None], dqp[:, 1], qp, qpi)
+        acc1p = mont_mul(h1[0][None], dqp[:, 1], qp, qpi)
+        for j in range(2, n1):
+            acc0p = add_mod(acc0p, mont_mul(h0[j - 1][None], dqp[:, j], qp, qpi), qp)
+            acc1p = add_mod(acc1p, mont_mul(h1[j - 1][None], dqp[:, j], qp, qpi), qp)
+
+        i0 = add_mod(
+            ntt.ntt_inv(acc0q, ctx.tb_q),
+            bfv_eval.mod_down(ctx, ntt.ntt_inv(acc0p, ctx.tb_qp)),
+            q,
+        )  # [n2, k, N]
+        i1 = add_mod(
+            ntt.ntt_inv(acc1q, ctx.tb_q),
+            bfv_eval.mod_down(ctx, ntt.ntt_inv(acc1p, ctx.tb_qp)),
+            q,
+        )
+        if n2 == 1:
+            return Ciphertext(jnp.stack([i0[0], i1[0]]))
+
+        # giantsteps: out = inner_0 + sum_g sigma_{-g*n1}(inner_g)
+        p0 = jax.vmap(take_last)(i0[1:], giant_csrc)
+        p0 = jnp.where(giant_csign[:, None, :], neg_mod(p0, q), p0)
+        out0 = i0[0]
+        for g in range(n2 - 1):
+            out0 = add_mod(out0, p0[g], q)
+
+        fdg = bfv_eval.hoist_digits(ctx, i1[1:])  # [n2-1, kd, k+1, N]
+        g0, g1 = contract(fdg, giant_k0, giant_k1)  # [n2-1, k+1, N]
+        hg0 = jax.vmap(take_last)(g0, giant_nsrc)
+        hg1 = jax.vmap(take_last)(g1, giant_nsrc)
+        accp0, accp1 = hg0[0], hg1[0]
+        for g in range(1, n2 - 1):
+            accp0 = add_mod(accp0, hg0[g], qp)
+            accp1 = add_mod(accp1, hg1[g], qp)
+        out0 = add_mod(out0, bfv_eval.mod_down(ctx, ntt.ntt_inv(accp0, ctx.tb_qp)), q)
+        out1 = add_mod(i1[0], bfv_eval.mod_down(ctx, ntt.ntt_inv(accp1, ctx.tb_qp)), q)
         return Ciphertext(jnp.stack([out0, out1]))
 
     def _mix(self, st: Ciphertext, keys) -> Ciphertext:
