@@ -81,7 +81,7 @@ def build_tables(moduli: Tuple[int, ...], n: int) -> NttTables:
         psi_t[i] = modular.to_mont_host(pw[rev], q)
         ipsi_t[i] = modular.to_mont_host(ipw[rev], q)
         ninv_t[i, 0] = modular.to_mont_host(np.uint64(pow(n, -1, q)), q)
-    return NttTables(
+    tb = NttTables(
         q=jnp.asarray(q_arr),
         qinv_neg=jnp.asarray(qi_arr),
         r2=jnp.asarray(r2_arr),
@@ -89,15 +89,59 @@ def build_tables(moduli: Tuple[int, ...], n: int) -> NttTables:
         ipsi_br=jnp.asarray(ipsi_t),
         ninv=jnp.asarray(ninv_t),
     )
+    # register moduli so the Pallas backend can rebuild its own tables
+    from . import ntt_pallas
+
+    ntt_pallas.MODULI_OF[id(tb)] = moduli
+    return tb
 
 
-@jax.jit
+import os
+
+_PALLAS_ENABLED = os.environ.get("HHE_NTT_PALLAS", "1") != "0"
+
+
+def _use_pallas(x, tb) -> bool:
+    """Dispatch to the fused Pallas kernel on TPU (bit-identical output)."""
+    if not _PALLAS_ENABLED:
+        return False
+    try:
+        if jax.default_backend() != "tpu":
+            return False
+    except Exception:  # pragma: no cover
+        return False
+    from . import ntt_pallas
+
+    return ntt_pallas.supported(x.shape, tb)
+
+
 def ntt_fwd(x: jnp.ndarray, tb: NttTables) -> jnp.ndarray:
     """Forward negacyclic NTT, natural -> bit-reversed order.
 
     x: u32 [..., k, N] in standard domain; returns same shape/domain.
-    (Longa-Naehrig Algorithm 1 structure, CT butterflies, merged psi.)
+    On TPU dispatches to the fused Pallas kernel (``ntt_pallas``); the
+    XLA butterfly path below is the canonical semantics.
     """
+    if _use_pallas(x, tb):
+        from . import ntt_pallas
+
+        return ntt_pallas.ntt_fwd(x, tb)
+    return _ntt_fwd_xla(x, tb)
+
+
+def ntt_inv(x: jnp.ndarray, tb: NttTables) -> jnp.ndarray:
+    """Inverse negacyclic NTT, bit-reversed -> natural order."""
+    if _use_pallas(x, tb):
+        from . import ntt_pallas
+
+        return ntt_pallas.ntt_inv(x, tb)
+    return _ntt_inv_xla(x, tb)
+
+
+@jax.jit
+def _ntt_fwd_xla(x: jnp.ndarray, tb: NttTables) -> jnp.ndarray:
+    """XLA butterfly forward NTT (Longa-Naehrig Algorithm 1 structure,
+    CT butterflies, merged psi)."""
     *lead, k, n = x.shape
     t = n
     m = 1
@@ -117,8 +161,8 @@ def ntt_fwd(x: jnp.ndarray, tb: NttTables) -> jnp.ndarray:
 
 
 @jax.jit
-def ntt_inv(x: jnp.ndarray, tb: NttTables) -> jnp.ndarray:
-    """Inverse negacyclic NTT, bit-reversed -> natural order (GS butterflies)."""
+def _ntt_inv_xla(x: jnp.ndarray, tb: NttTables) -> jnp.ndarray:
+    """XLA butterfly inverse NTT (GS butterflies)."""
     *lead, k, n = x.shape
     t = 1
     m = n

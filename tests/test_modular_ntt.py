@@ -135,3 +135,31 @@ def test_mxu_ntt_matches_butterfly():
     assert np.array_equal(
         np.asarray(ntt_mxu.ntt_inv(jnp.asarray(f_mx), tbm)), np.asarray(x)
     )
+
+
+def test_pallas_ntt_matches_butterfly():
+    """Fused Pallas NTT (interpret mode on CPU) is bit-identical to the
+    butterfly NTT, forward and inverse, incl. batched leading dims."""
+    import jax.numpy as jnp
+
+    from hhe_tpu.ops import ntt_pallas
+
+    for n in (256, 2048):
+        mods = primes.ntt_primes(n, 30, 2)
+        tb = ntt.build_tables(mods, n)
+        rng = np.random.default_rng(8)
+        x = jnp.asarray(
+            np.stack(
+                [
+                    np.stack([rng.integers(0, m, n) for m in mods])
+                    for _ in range(3)
+                ]
+            ).astype(np.uint32)
+        )  # [3, k, n]
+        f_bf = np.asarray(ntt._ntt_fwd_xla(x, tb))
+        f_pl = np.asarray(ntt_pallas.ntt_fwd(x, tb, interpret=True))
+        assert np.array_equal(f_bf, f_pl)
+        i_bf = np.asarray(ntt._ntt_inv_xla(jnp.asarray(f_bf), tb))
+        i_pl = np.asarray(ntt_pallas.ntt_inv(jnp.asarray(f_bf), tb, interpret=True))
+        assert np.array_equal(i_bf, i_pl)
+        assert np.array_equal(i_pl, np.asarray(x))

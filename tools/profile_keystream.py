@@ -29,7 +29,7 @@ def timed(fn, *args, reps=5):
 
 def main():
     n = int(os.environ.get("BENCH_N", "16384"))
-    n1 = int(os.environ.get("BENCH_N1", "16"))
+    n1 = int(os.environ.get("BENCH_N1", str(transcipher.BSGS_N1)))
     n2 = transcipher.T // n1
     ctx = bfv.Context(bfv.BFVParams(n=n, data_limbs=13, seed=1))
     sk = ctx.keygen_secret()
