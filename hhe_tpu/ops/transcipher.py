@@ -107,6 +107,12 @@ class Transcipher:
         self._jit_keystream = jax.jit(self._keystream_impl)
         self._jit_keystream_seeded = jax.jit(self._keystream_seeded_impl)
         self._jit_expand = jax.jit(self._expand_round_mats)
+        # all blocks of a long input evaluated in ONE program: the homomorphic
+        # ops batch across blocks (the reference loops blocks sequentially,
+        # ``pasta_3_seal.cpp:118``)
+        self._jit_keystream_blocks = jax.jit(
+            jax.vmap(self._keystream_impl, in_axes=(None, 0, 0, None))
+        )
 
     def _build_bsgs_keys(self, gks: Dict[int, KSwitchKey]):
         """Precompute the batched BSGS material.
@@ -564,6 +570,27 @@ class Transcipher:
             self._pt_cache[ck] = (mats, self.block_rcs(nonce, b))
         return self._pt_cache[ck]
 
+    def keystream_blocks(
+        self, enc_key: Ciphertext, nonce: int, blocks: List[int]
+    ) -> List[Ciphertext]:
+        """Keystream ciphertexts for several blocks in ONE batched program
+        (the homomorphic ops vectorize across the block axis; cached)."""
+        missing = [
+            b for b in blocks if (id(enc_key.data), nonce, b) not in self._ks_cache
+        ]
+        if len(missing) >= 2:
+            mats, rcs = zip(
+                *(self.device_block_plaintexts(nonce, b) for b in missing)
+            )
+            mats_st = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *mats)
+            rcs_st = jnp.stack(rcs)
+            outs = self._jit_keystream_blocks(
+                enc_key.data, mats_st, rcs_st, self._keys()
+            )
+            for i, b in enumerate(missing):
+                self._ks_cache[(id(enc_key.data), nonce, b)] = Ciphertext(outs[i])
+        return [self.keystream_ct(enc_key, nonce, b) for b in blocks]
+
     def decompose(
         self, enc_key: Ciphertext, sym_ct, nonce: int = pasta.NONCE
     ) -> List[Ciphertext]:
@@ -577,9 +604,10 @@ class Transcipher:
         sym2 = np.atleast_2d(sym)
         B, L = sym2.shape
         nblocks = math.ceil(L / T)
+        kss = self.keystream_blocks(enc_key, nonce, list(range(nblocks)))
         out = []
         for b in range(nblocks):
-            ks = self.keystream_ct(enc_key, nonce, b)
+            ks = kss[b]
             neg = bfv_eval.negate(ctx, ks)
             chunk = sym2[:, b * T : min((b + 1) * T, L)]
             pts = ctx.plain_for_add_batch(ctx.encode_batch(chunk))  # [B,k,N]
