@@ -65,7 +65,9 @@ class Ciphertext(NamedTuple):
 
 
 class Plaintext(NamedTuple):
-    """Plaintext polynomial mod t: u32 ``[N]`` coefficient domain."""
+    """Plaintext polynomial mod t: u64 ``[N]`` coefficient domain (t may be
+    up to ~60 bits on the host — device paths only ever see residues mod the
+    <2^31 coefficient primes)."""
 
     data: np.ndarray
 
@@ -197,7 +199,7 @@ class Context:
         slots = np.zeros(self.n, np.uint64)
         slots[self.encoder_map[: len(v)]] = v.astype(np.uint64)
         poly = ntt.ntt_inv_host(slots, self.tb_t_host)
-        return Plaintext(poly.astype(np.uint32))
+        return Plaintext(poly.astype(np.uint64))
 
     def encode_batch(self, values: np.ndarray) -> np.ndarray:
         """[B, L<=N] slot values -> [B, N] plaintext polys (vectorized host NTT)."""
@@ -205,7 +207,7 @@ class Context:
         b, l = v.shape
         slots = np.zeros((b, self.n), np.uint64)
         slots[:, self.encoder_map[:l]] = v.astype(np.uint64)
-        return ntt.ntt_inv_host(slots, self.tb_t_host).astype(np.uint32)
+        return ntt.ntt_inv_host(slots, self.tb_t_host).astype(np.uint64)
 
     def decode(self, pt: Plaintext) -> np.ndarray:
         slots = ntt.ntt_fwd_host(np.asarray(pt.data, np.uint64), self.tb_t_host)
@@ -454,13 +456,19 @@ class Context:
 
     def scale_plain(self, pt: Plaintext) -> np.ndarray:
         """round(Q * m / t) in RNS: u64 [k, N] (SEAL's
-        multiply_add_plain_with_scaling_variant)."""
-        m = np.asarray(pt.data, np.uint64)
-        prod = (self.q_mod_t * m).astype(np.uint64)
-        fix = (prod + np.uint64((self.t + 1) // 2)) // np.uint64(self.t)
+        multiply_add_plain_with_scaling_variant).  Exact-bigint path when
+        q_mod_t * m can exceed u64 (large plaintext moduli)."""
+        if self.t >= (1 << 32):
+            m = np.asarray(pt.data, object)
+            prod = int(self.q_mod_t) * m
+            fix = (prod + (self.t + 1) // 2) // self.t
+        else:
+            m = np.asarray(pt.data, np.uint64)
+            prod = (self.q_mod_t * m).astype(np.uint64)
+            fix = (prod + np.uint64((self.t + 1) // 2)) // np.uint64(self.t)
         out = np.empty((self.k, self.n), np.uint64)
         for i, q in enumerate(self.q_moduli):
-            out[i] = (self.delta_mod_q[i] * (m % q) + fix) % q
+            out[i] = ((self.delta_mod_q[i] * (m % q) + fix) % q).astype(np.uint64)
         return out
 
     def encrypt(self, pk: PublicKey, pt: Plaintext) -> Ciphertext:
@@ -497,7 +505,7 @@ class Context:
         xc = self.base_q.compose_centered(x)
         num = xc * self.t
         m = (num + (self.Q // 2)) // self.Q  # floor((tx + Q/2)/Q), exact round
-        return Plaintext((m % self.t).astype(np.uint64).astype(np.uint32))
+        return Plaintext((m % self.t).astype(np.uint64))
 
     def noise_budget(self, sk: SecretKey, ct: Ciphertext) -> int:
         """Invariant noise budget in bits (SEAL Decryptor::invariant_noise_budget):

@@ -218,11 +218,15 @@ class HostTables(NamedTuple):
 
 @functools.lru_cache(maxsize=64)
 def build_host_tables(q: int, n: int) -> HostTables:
+    """q may exceed 2^32 (e.g. the reference speedtest's 47-bit plaintext
+    modulus, ``qat/src/speedtest_he_mnist_works.py:396``): tables then use
+    object dtype and the host NTT runs in exact Python integers."""
     rev = bit_reverse_indices(n)
     psi = primes.root_of_unity(2 * n, q)
     ipsi = pow(psi, -1, q)
-    pw = np.empty(n, np.uint64)
-    ipw = np.empty(n, np.uint64)
+    dt = np.uint64 if q < (1 << 32) else object
+    pw = np.empty(n, dt)
+    ipw = np.empty(n, dt)
     cur, icur = 1, 1
     for j in range(n):
         pw[j] = cur
@@ -233,10 +237,15 @@ def build_host_tables(q: int, n: int) -> HostTables:
 
 
 def ntt_fwd_host(x: np.ndarray, tb: HostTables) -> np.ndarray:
-    """Forward negacyclic NTT on host, natural -> bit-reversed ([..., N] u64)."""
-    x = np.asarray(x, np.uint64) % np.uint64(tb.q)
+    """Forward negacyclic NTT on host, natural -> bit-reversed ([..., N] u64;
+    object dtype — exact bigint — when q >= 2^32)."""
+    if tb.q >= (1 << 32):
+        x = np.asarray(x, object) % tb.q
+        q = tb.q
+    else:
+        x = np.asarray(x, np.uint64) % np.uint64(tb.q)
+        q = np.uint64(tb.q)
     *lead, n = x.shape
-    q = np.uint64(tb.q)
     t, m = n, 1
     while m < n:
         t //= 2
@@ -251,9 +260,13 @@ def ntt_fwd_host(x: np.ndarray, tb: HostTables) -> np.ndarray:
 
 def ntt_inv_host(x: np.ndarray, tb: HostTables) -> np.ndarray:
     """Inverse negacyclic NTT on host, bit-reversed -> natural."""
-    x = np.asarray(x, np.uint64)
+    if tb.q >= (1 << 32):
+        x = np.asarray(x, object)
+        q = tb.q
+    else:
+        x = np.asarray(x, np.uint64)
+        q = np.uint64(tb.q)
     *lead, n = x.shape
-    q = np.uint64(tb.q)
     t, m = 1, n
     while m > 1:
         h = m // 2
@@ -266,7 +279,8 @@ def ntt_inv_host(x: np.ndarray, tb: HostTables) -> np.ndarray:
         ).reshape(*lead, n)
         t *= 2
         m = h
-    return (x * np.uint64(tb.ninv)) % q
+    ninv = tb.ninv if tb.q >= (1 << 32) else np.uint64(tb.ninv)
+    return (x * ninv) % q
 
 
 def poly_mul_host(a: np.ndarray, b: np.ndarray, q: int) -> np.ndarray:

@@ -134,3 +134,121 @@ def train_quant_2fc(
         pocketnn.save_csv_matrix(f"{export_prefix}_fc1.csv", w1)
         pocketnn.save_csv_matrix(f"{export_prefix}_fc2.csv", w2)
     return QATResult(w1, w2, float_acc, int_acc)
+
+
+if TORCH:
+
+    class QuantConv2d(nn.Module):
+        """Stride-2, no-padding, bias-free quantized conv (reference
+        ``qat/notebooks/mnist_conv_train.ipynb`` QuantConv2d settings)."""
+
+        def __init__(self, in_ch, out_ch, ksize=5, stride=2, bits=2):
+            super().__init__()
+            self.weight = nn.Parameter(
+                torch.randn(out_ch, in_ch, ksize, ksize) * 0.1
+            )
+            self.stride = stride
+            self.bits = bits
+
+        def forward(self, x):
+            w = _FakeQuant.apply(self.weight, self.bits)
+            return torch.nn.functional.conv2d(x, w, stride=self.stride)
+
+        def int_weight(self) -> np.ndarray:
+            with torch.no_grad():
+                qmax = 2 ** (self.bits - 1) - 1
+                scale = self.weight.abs().max().clamp(min=1e-8) / qmax
+                return (
+                    torch.clamp(torch.round(self.weight / scale), -qmax, qmax)
+                    .numpy()
+                    .astype(np.int64)
+                )
+
+    class QuantHCNN(nn.Module):
+        """conv(1->c1,5,s2) -> square -> conv(c1->c2,5,s2) -> flatten ->
+        square -> fc (the reference MNISTConvQuantModel,
+        ``qat/notebooks/mnist_conv_train.ipynb``)."""
+
+        def __init__(self, c1=5, c2=50, n_classes=10, bits=2, img=28):
+            super().__init__()
+            self.conv1 = QuantConv2d(1, c1, 5, 2, bits)
+            self.conv2 = QuantConv2d(c1, c2, 5, 2, bits)
+            o1 = (img - 5) // 2 + 1
+            o2 = (o1 - 5) // 2 + 1
+            self.fc1 = QuantLinear(c2 * o2 * o2, n_classes, bits)
+
+        def forward(self, x):
+            out = self.conv1(x)
+            out = out * out
+            out = self.conv2(out)
+            out = out.reshape(out.shape[0], -1)
+            out = out * out
+            return self.fc1(out)
+
+
+@dataclasses.dataclass
+class QATConvResult:
+    k1_int: np.ndarray  # [c1, 1, 5, 5]
+    k2_int: np.ndarray  # [c2, c1, 5, 5]
+    fc_int: np.ndarray  # [classes, c2*o2*o2]
+    float_acc: float
+    int_acc: float
+
+
+def train_quant_hcnn(
+    x: np.ndarray,
+    y: np.ndarray,
+    x_test: np.ndarray,
+    y_test: np.ndarray,
+    c1: int = 5,
+    c2: int = 50,
+    bits: int = 2,
+    epochs: int = 3,
+    lr: float = 1e-3,
+    batch: int = 64,
+    seed: int = 0,
+    export_prefix: Optional[str] = None,
+) -> QATConvResult:
+    """x: [n, 1, 28, 28] 2-bit-quantized ints (0..3, reference input scaling
+    ``speedtest_he_mnist_works.py:12``); y: labels.  Returns integer weights
+    whose plain integer forward (``heconv.hcnn_forward_int``) is the exact
+    parity target for the encrypted pipeline."""
+    assert TORCH, "torch unavailable"
+    torch.manual_seed(seed)
+    img = x.shape[-1]
+    model = QuantHCNN(c1, c2, int(y.max()) + 1, bits, img)
+    opt = torch.optim.Adam(model.parameters(), lr=lr)
+    xt = torch.tensor(x, dtype=torch.float32)
+    yt = torch.tensor(y, dtype=torch.long)
+    lossf = nn.CrossEntropyLoss()
+    n = len(xt)
+    for _ in range(epochs):
+        perm = torch.randperm(n)
+        for i in range(0, n, batch):
+            sel = perm[i : i + batch]
+            opt.zero_grad()
+            out = model(xt[sel])
+            loss = lossf(out / out.abs().max().clamp(min=1e-8), yt[sel])
+            loss.backward()
+            opt.step()
+
+    with torch.no_grad():
+        fl = model(torch.tensor(x_test, dtype=torch.float32)).argmax(1).numpy()
+    float_acc = float(np.mean(fl == y_test))
+
+    k1 = model.conv1.int_weight()
+    k2 = model.conv2.int_weight()
+    fc = model.fc1.int_weight().T  # [classes, features]
+
+    from ..ops import heconv
+
+    logits = np.stack(
+        [heconv.hcnn_forward_int(xi, k1, k2, fc) for xi in x_test.astype(np.int64)]
+    )
+    int_acc = float(np.mean(logits.argmax(1) == y_test))
+
+    if export_prefix:
+        pocketnn.save_csv_matrix(f"{export_prefix}_conv1.csv", k1.reshape(c1, -1))
+        pocketnn.save_csv_matrix(f"{export_prefix}_conv2.csv", k2.reshape(c2, -1))
+        pocketnn.save_csv_matrix(f"{export_prefix}_fc.csv", fc)
+    return QATConvResult(k1, k2, fc, float_acc, int_acc)
