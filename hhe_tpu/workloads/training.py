@@ -83,10 +83,33 @@ def _run_training(
         if test_acc > best_acc:
             best_acc, best_params = test_acc, model
             if save_best_path:
-                pk.save_csv_matrix(
-                    save_best_path, np.asarray(best_params.params[0].weight)
-                )
+                # epoch-best checkpoints, one CSV per layer (reference
+                # saveWeight calls, pktnn_examples.cpp:1043-1050,1193-1196)
+                for li, p in enumerate(best_params.params):
+                    path = (
+                        save_best_path
+                        if len(best_params.params) == 1
+                        else f"{save_best_path}.fc{li + 1}.csv"
+                    )
+                    pk.save_csv_matrix(path, np.asarray(p.weight))
     return TrainResult(model, specs, history, best_acc, best_params)
+
+
+def initial_stats(
+    model, specs, x: np.ndarray, labels_scaled: np.ndarray, process: str = "train"
+) -> float:
+    """Pre-training threshold accuracy report (reference ``initial_stats``,
+    pktnn_examples.cpp:867-894: output > 64 -> 128, compare to scaled label)."""
+    out, _ = pk.mlp_forward(model, specs, jnp.asarray(x, jnp.int32))
+    pred = np.where(np.asarray(out)[:, 0] > 64, 128, 0)
+    acc = float(np.mean(pred == np.asarray(labels_scaled).reshape(-1)))
+    n_correct = int(np.sum(pred == np.asarray(labels_scaled).reshape(-1)))
+    print(
+        f"Initial {process} correct predictions: {n_correct} "
+        f"(out of {len(pred)} examples)\n"
+        f"Initial {process} accuracy: {acc * 100}%"
+    )
+    return acc
 
 
 def train_spo2_one_layer(
@@ -140,6 +163,72 @@ def train_ecg_one_layer(
     return _run_training(
         specs, data, y, data, labels01, _binary_accuracy, labels01,
         epochs, mini_batch, lr_inv, None, seed,
+    )
+
+
+def train_spo2_square(
+    data: np.ndarray,
+    labels: np.ndarray,
+    test_data: Optional[np.ndarray] = None,
+    test_labels: Optional[np.ndarray] = None,
+    hidden: int = 128,
+    epochs: int = 50,
+    mini_batch: int = 4,
+    lr_inv: int = 50,
+    seed: int = 0,
+    save_best_path: Optional[str] = None,
+) -> TrainResult:
+    """SpO2 2FC square net: 300 -> 128 pocket_tanh -> 1 square, DFA training
+    with lr halving every 10 epochs and epoch-best per-layer checkpoints
+    (reference ``fc_int_dfa_spo2_square``, pktnn_examples.cpp:1205-1299,
+    via the generic ``train()`` helper :1071-1203)."""
+    if test_data is None:
+        test_data, test_labels = data, labels
+    labels01 = np.asarray(labels).reshape(-1)
+    y = (labels01 * 128).reshape(-1, 1)
+    specs = [
+        pk.FCSpec(data.shape[1], hidden, "pocket_tanh"),
+        pk.FCSpec(hidden, 1, "square"),
+    ]
+    return _run_training(
+        specs,
+        data,
+        y,
+        test_data,
+        np.asarray(test_labels).reshape(-1),
+        _binary_accuracy,
+        labels01,
+        epochs,
+        mini_batch,
+        lr_inv,
+        lr_halving_every=10,
+        seed=seed,
+        save_best_path=save_best_path,
+    )
+
+
+def train_mnist_one_layer(
+    x_train: np.ndarray,
+    labels_train: np.ndarray,
+    x_test: np.ndarray,
+    labels_test: np.ndarray,
+    epochs: int = 3,
+    mini_batch: int = 20,
+    lr_inv: int = 1000,
+    seed: int = 0,
+) -> TrainResult:
+    """Single-FC 784 -> 10 pocket_tanh DFA training (reference
+    ``fc_int_dfa_mnist_one_layer``, pktnn_examples.cpp:334-568)."""
+    return train_mnist_dfa(
+        x_train,
+        labels_train,
+        x_test,
+        labels_test,
+        dims=(x_train.shape[1], 10),
+        epochs=epochs,
+        mini_batch=mini_batch,
+        lr_inv=lr_inv,
+        seed=seed,
     )
 
 

@@ -42,6 +42,36 @@ def test_train_spo2_one_layer(tmp_path):
     assert w.shape == (300, 1)
 
 
+@pytest.mark.skipif(not os.path.isdir(SIESTA), reason="reference data unavailable")
+def test_train_spo2_square(tmp_path):
+    """SpO2 2FC square net (300 -> 128 tanh -> 1 square) integer DFA training
+    with per-layer epoch-best checkpoints (reference fc_int_dfa_spo2_square,
+    pktnn_examples.cpp:1205-1299)."""
+    x, y = _load_siesta(limit_patients=8)
+    res = training.train_spo2_square(
+        x, y, epochs=3, hidden=16, save_best_path=str(tmp_path / "w")
+    )
+    majority = max(np.mean(y == 0), np.mean(y == 1))
+    assert res.best_test_acc >= majority - 0.05, (res.best_test_acc, majority)
+    w1 = pk.read_csv_matrix(tmp_path / "w.fc1.csv")
+    w2 = pk.read_csv_matrix(tmp_path / "w.fc2.csv")
+    assert w1.shape == (300, 16) and w2.shape == (16, 1)
+    # initial_stats smoke (reference pktnn_examples.cpp:867-894)
+    model, specs = pk.mlp_init(0, tuple(res.specs))
+    acc0 = training.initial_stats(model, specs, x[:64], (y[:64] * 128), "train")
+    assert 0.0 <= acc0 <= 1.0
+
+
+def test_train_mnist_one_layer_small():
+    """Single-FC 784 -> 10 DFA (reference fc_int_dfa_mnist_one_layer)."""
+    x, y = loaders.load_mnist_test(limit=1200, quantize=False)
+    xtr, ytr = x[:1000].astype(np.int32), y[:1000]
+    xte, yte = x[1000:].astype(np.int32), y[1000:]
+    res = training.train_mnist_one_layer(xtr, ytr, xte, yte, epochs=3)
+    assert res.history[-1]["loss"] <= res.history[0]["loss"]
+    assert res.best_test_acc >= 0.05
+
+
 def test_train_mnist_dfa_small():
     """3-layer integer DFA on MNIST matches the reference library's behavior
     at this scale (reference fc_int_dfa_mnist, scaled to 2000 samples).
