@@ -198,6 +198,8 @@ class FCParams(NamedTuple):
     weight: jnp.ndarray  # [in, out] int32
     bias: jnp.ndarray  # [1, out] int32
     dfa: Optional[jnp.ndarray] = None  # [n_classes, out] int32 feedback
+    gamma: Optional[jnp.ndarray] = None  # [1, out] int32 (batch-norm scale)
+    beta: Optional[jnp.ndarray] = None  # [1, out] int32 (batch-norm shift)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -206,6 +208,7 @@ class FCSpec:
     out_dim: int
     actv: str = "pocket_tanh"
     use_dfa: bool = True
+    use_bn: bool = False  # reference pktfc::useBatchNormalization (pktnn_fc.cpp:119-127)
 
 
 def fc_init(
@@ -229,13 +232,60 @@ def fc_init(
             rng.integers(-rng_range, rng_range + 1, (n_classes, spec.out_dim)),
             jnp.int32,
         )
-    return FCParams(w, b, dfa)
+    gamma = beta = None
+    if spec.use_bn:
+        # reference lazily inits gamma=1, beta=0 on first forward (pktnn_fc.cpp:403-411)
+        gamma = jnp.ones((1, spec.out_dim), jnp.int32)
+        beta = jnp.zeros((1, spec.out_dim), jnp.int32)
+    return FCParams(w, b, dfa, gamma, beta)
+
+
+def floor_isqrt(x):
+    """Elementwise floor(sqrt(x)) for nonnegative int32 (reference
+    pktmat::floorSqrt used by squareRootOf, pktnn_mat.cpp:929-944)."""
+    # float32 estimate then exact repair in uint32 (squares up to 2^31 fit;
+    # works without jax x64 and keeps TPU lanes 32-bit)
+    s = jnp.floor(jnp.sqrt(x.astype(jnp.float32))).astype(jnp.uint32)
+    xu = x.astype(jnp.uint32)
+    for _ in range(2):
+        s = jnp.where((s + 1) * (s + 1) <= xu, s + 1, s)  # round-down repair
+        s = jnp.where(s * s > xu, s - 1, s)  # round-up repair
+    return s.astype(x.dtype)
+
+
+class BNCache(NamedTuple):
+    standardized: jnp.ndarray  # [B, out] x_hat (pktnn_fc.cpp:387-400)
+    stdev_eps: jnp.ndarray  # [1, out] floorSqrt(var), 0 -> 1
+
+
+def batch_normalize(inter: jnp.ndarray, gamma, beta):
+    """Integer batch-norm over a minibatch (reference
+    pktfc::batchNormalization, pktnn_fc.cpp:345-427): truncating-division
+    mean/variance, floor-sqrt stdev with eps->1, x_hat scaled by PKT_MAX=127,
+    then gamma*x_hat + beta. Returns (bn_out, BNCache)."""
+    n_items = inter.shape[0]
+    mean = div_trunc(inter.sum(axis=0, keepdims=True), n_items)
+    devi = inter - mean
+    var = div_trunc((devi * devi).sum(axis=0, keepdims=True), n_items)
+    stdev = floor_isqrt(var)
+    stdev = jnp.where(stdev == 0, 1, stdev)
+    xhat = div_trunc(PKT_MAX * devi, stdev)
+    return gamma * xhat + beta, BNCache(xhat, stdev)
 
 
 def fc_forward(params: FCParams, x: jnp.ndarray, spec: FCSpec):
-    """out = actv(x @ W + b); returns (out, grad_inv). x int32 [B, in]."""
+    """out = actv(x @ W + b); returns (out, grad_inv[, BNCache]).
+    x int32 [B, in]. With use_bn the bias is NOT added — the reference
+    normalizes x @ W and feeds gamma*x_hat+beta to the activation
+    (pktnn_fc.cpp:136-153)."""
+    if spec.use_bn:
+        inter = x @ params.weight
+        bn, cache = batch_normalize(inter, params.gamma, params.beta)
+        out, gi = ACTIVATIONS[spec.actv](bn, K_BIT, spec.in_dim)
+        return out, gi, cache
     inter = x @ params.weight + params.bias
-    return ACTIVATIONS[spec.actv](inter, K_BIT, spec.in_dim)
+    out, gi = ACTIVATIONS[spec.actv](inter, K_BIT, spec.in_dim)
+    return out, gi, None
 
 
 # ---------------------------------------------------------------------------
@@ -290,8 +340,8 @@ def mlp_forward(model: MLP, specs, x):
     caches = []
     h = x
     for p, s in zip(model.params, specs):
-        out, gi = fc_forward(p, h, s)
-        caches.append((h, out, gi))
+        out, gi, bn = fc_forward(p, h, s)
+        caches.append((h, out, gi, bn))
         h = out
     return h, caches
 
@@ -304,13 +354,32 @@ def dfa_train_step(
     y_hat, caches = mlp_forward(model, specs, x)
     loss_delta = batch_l2_loss_delta(y, y_hat)  # [B, n_classes]
     n_layers = len(model.params)
+    n_items = x.shape[0]
     # deltas, last layer backwards (BP layers need the next layer's deltas:
     # reference computeDeltas, pktnn_fc.cpp:241-343)
     deltas_list = [None] * n_layers
+    bn_grads = [None] * n_layers  # (dGamma, dBeta) for BN layers
     for li in range(n_layers - 1, -1, -1):
         p, s = model.params[li], specs[li]
         gi = caches[li][2]
-        if li == n_layers - 1:
+        if s.use_bn:
+            # BN branch (pktnn_fc.cpp:244-302): upstream gradient is vanilla
+            # BP from the next layer even in DFA mode
+            if li == n_layers - 1:
+                d_bn = div_trunc(loss_delta, gi)
+            else:
+                nxt = model.params[li + 1].weight
+                d_bn = div_trunc(deltas_list[li + 1] @ nxt.T, gi)
+            xhat, stdev = caches[li][3]
+            d_gamma = (d_bn * xhat).sum(axis=0, keepdims=True)
+            d_beta = d_bn.sum(axis=0, keepdims=True)
+            bn_grads[li] = (d_gamma, d_beta)
+            gamma_stdev = div_trunc(p.gamma, stdev)  # (1, out)
+            deltas_list[li] = div_trunc(
+                (-d_gamma * xhat + d_bn * n_items - d_beta) * gamma_stdev,
+                n_items,
+            )
+        elif li == n_layers - 1:
             deltas_list[li] = div_trunc(loss_delta, gi)
         elif s.use_dfa:
             deltas_list[li] = div_trunc(loss_delta @ p.dfa, gi)
@@ -319,9 +388,23 @@ def dfa_train_step(
             deltas_list[li] = div_trunc(deltas_list[li + 1] @ nxt.T, gi)
     new_params = []
     for li, (p, s) in enumerate(zip(model.params, specs)):
-        x_in, _, gi = caches[li]
+        x_in, _, gi = caches[li][:3]
         deltas = deltas_list[li]
         wu = div_trunc(x_in.T @ deltas, -lr_inv)
+        if s.use_bn:
+            # gamma/beta updated instead of the bias; no clamp on them
+            # (pktnn_fc.cpp:209-217)
+            d_gamma, d_beta = bn_grads[li]
+            new_params.append(
+                FCParams(
+                    jnp.clip(p.weight + wu, lo, hi),
+                    p.bias,
+                    p.dfa,
+                    p.gamma + div_trunc(d_gamma, -lr_inv),
+                    p.beta + div_trunc(d_beta, -lr_inv),
+                )
+            )
+            continue
         bu = div_trunc(
             jnp.ones((1, x_in.shape[0]), jnp.int32) @ deltas, -lr_inv
         )

@@ -140,3 +140,62 @@ def test_backprop_mode_learns():
         first = total if first is None else first
         last = total
     assert last < first
+
+
+def test_batch_norm_bit_exact_vs_reference():
+    """Integer batch-norm forward + 3 training steps, bit-exact against the
+    compiled reference PocketNN library (pktfc::batchNormalization,
+    pktnn_fc.cpp:345-427; BN branch of computeDeltas :244-302; golden vectors
+    from tools/pktnn_probe-style harness, see git history)."""
+    N, IN, OUT, LRINV = 5, 6, 4, 10
+    x = np.array(
+        [[((r * 11 + c * 5) % 19) - 9 for c in range(IN)] for r in range(N)],
+        np.int32,
+    )
+    w0 = np.array(
+        [[((r * 7 + c * 13) % 21) - 10 for c in range(OUT)] for r in range(IN)],
+        np.int32,
+    )
+    target = np.array(
+        [[((r + c) % 2) * 100 for c in range(OUT)] for r in range(N)], np.int32
+    )
+
+    specs = [pk.FCSpec(IN, OUT, "pocket_tanh", use_dfa=True, use_bn=True)]
+    model, specs = pk.mlp_init(0, specs)
+    model = pk.MLP((model.params[0]._replace(weight=jnp.asarray(w0)),))
+    xj, yj = jnp.asarray(x), jnp.asarray(target)
+
+    out0, _ = pk.mlp_forward(model, specs, xj)
+    assert np.asarray(out0).tolist() == np.zeros((N, OUT)).tolist()
+
+    for _ in range(3):
+        model, _ = pk.dfa_train_step(model, specs, xj, yj, lr_inv=LRINV)
+
+    out3, _ = pk.mlp_forward(model, specs, xj)
+    golden_out3 = [
+        [-58, 127, -10, -114],
+        [-60, -127, -10, 127],
+        [-60, 127, -10, -108],
+        [127, -52, 86, 26],
+        [-127, -87, -67, 50],
+    ]
+    golden_w3 = [
+        [-127, 128, -127, -127],
+        [128, 128, 128, -127],
+        [128, -127, 128, 128],
+        [-127, -127, -127, 128],
+        [-127, 128, -127, -127],
+        [128, 128, 128, -127],
+    ]
+    assert np.asarray(out3).tolist() == golden_out3
+    assert np.asarray(model.params[0].weight).tolist() == golden_w3
+    assert np.asarray(model.params[0].gamma).tolist() == [[-1829, -2418, -356, -1111]]
+    assert np.asarray(model.params[0].beta).tolist() == [[31, 46, 49, 45]]
+
+
+def test_floor_isqrt():
+    x = jnp.asarray([0, 1, 2, 3, 4, 15, 16, 17, 2**30, 2**31 - 1], jnp.int32)
+    got = np.asarray(pk.floor_isqrt(x)).tolist()
+    import math
+
+    assert got == [math.isqrt(int(v)) for v in np.asarray(x)]
