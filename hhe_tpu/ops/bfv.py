@@ -484,13 +484,25 @@ class Context:
             c[1, i] = (ntt.poly_mul_host(pkd[1, i], u[i], q) + e1[i]) % q
         return Ciphertext(jnp.asarray(c.astype(np.uint32)))
 
+    def _base_for(self, kc: int) -> "rns.RnsBase":
+        """RNS base of the first kc data limbs (full base when kc == k);
+        supports decrypting mod-switched ciphertexts at lower levels."""
+        if kc == self.k:
+            return self.base_q
+        if not hasattr(self, "_level_bases"):
+            self._level_bases: Dict[int, rns.RnsBase] = {}
+        if kc not in self._level_bases:
+            self._level_bases[kc] = rns.RnsBase(self.q_moduli[:kc])
+        return self._level_bases[kc]
+
     def _dot_with_sk(self, sk: SecretKey, ct: Ciphertext) -> np.ndarray:
-        """[c0 + c1 s + c2 s^2 + ...]_q, u64 [k, N] coeff domain (host)."""
+        """[c0 + c1 s + c2 s^2 + ...]_q, u64 [kc, N] coeff domain (host)."""
         c = np.asarray(ct.data, np.uint64)
         size = c.shape[0]
         s_rns = np.asarray(sk.s_q, np.uint64)
         acc = c[0].copy()
-        for i, q in enumerate(self.q_moduli):
+        for i in range(c.shape[1]):
+            q = self.q_moduli[i]
             spow = s_rns[i]
             for d in range(1, size):
                 acc[i] = (acc[i] + ntt.poly_mul_host(c[d, i], spow, q)) % q
@@ -500,23 +512,53 @@ class Context:
 
     def decrypt(self, sk: SecretKey, ct: Ciphertext) -> Plaintext:
         """m = [round(t/Q * [c(s)]_Q)]_t — exact host CRT scale-and-round
-        (SEAL decryptor.h / RNSTool::decrypt_scale_and_round semantics)."""
+        (SEAL decryptor.h / RNSTool::decrypt_scale_and_round semantics).
+        Works at any level (fewer limbs after mod_switch_to_next)."""
         x = self._dot_with_sk(sk, ct)
-        xc = self.base_q.compose_centered(x)
+        base = self._base_for(x.shape[0])
+        xc = base.compose_centered(x)
         num = xc * self.t
-        m = (num + (self.Q // 2)) // self.Q  # floor((tx + Q/2)/Q), exact round
+        m = (num + (base.Q // 2)) // base.Q  # floor((tx + Q/2)/Q), exact round
         return Plaintext((m % self.t).astype(np.uint64))
 
     def noise_budget(self, sk: SecretKey, ct: Ciphertext) -> int:
         """Invariant noise budget in bits (SEAL Decryptor::invariant_noise_budget):
         log2(Q / (2*||[t*c(s)]_Q||_inf))."""
         x = self._dot_with_sk(sk, ct)
-        xi = self.base_q.compose(x)
-        r = (xi * self.t) % self.Q
-        half = self.Q // 2
-        r = np.where(r > half, self.Q - r, r)
+        base = self._base_for(x.shape[0])
+        xi = base.compose(x)
+        r = (xi * self.t) % base.Q
+        half = base.Q // 2
+        r = np.where(r > half, base.Q - r, r)
         mx = int(max(r.max(), 1))
-        return max(0, self.Q.bit_length() - 1 - mx.bit_length() - 1)
+        return max(0, base.Q.bit_length() - 1 - mx.bit_length() - 1)
+
+    def mod_switch_to_next(self, ct: Ciphertext) -> Ciphertext:
+        """Drop the last data limb with divide-and-round (SEAL
+        Evaluator::mod_switch_to_next / RNSTool::divide_and_round_q_last:
+        c'_i = [(c_i - [c + q_last/2]_{q_last} + q_last/2) / q_last]_{q_i}).
+        Shrinks the ciphertext for transmission — the reference uses it for
+        result-size accounting (SEAL_Cipher.cpp:363-378)."""
+        c = np.asarray(ct.data, np.uint64)
+        size, kc, n = c.shape
+        assert kc >= 2, "already at the lowest level"
+        q_last = self.q_moduli[kc - 1]
+        half = q_last >> 1
+        out = np.empty((size, kc - 1, n), np.uint64)
+        for d in range(size):
+            x_last = (c[d, kc - 1] + half) % q_last
+            for i in range(kc - 1):
+                qi = self.q_moduli[i]
+                inv = pow(int(q_last), -1, int(qi))
+                tmp = (x_last % qi + qi - half % qi) % qi
+                out[d, i] = (((c[d, i] + qi - tmp) % qi) * inv) % qi
+        return Ciphertext(jnp.asarray(out))
+
+    def mod_switch_to(self, ct: Ciphertext, levels: int) -> Ciphertext:
+        """Apply mod_switch_to_next `levels` times."""
+        for _ in range(levels):
+            ct = self.mod_switch_to_next(ct)
+        return ct
 
     # ------------------------------------------------------------------
     # Plaintext device preparation (for evaluator)

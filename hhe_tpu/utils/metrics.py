@@ -48,6 +48,22 @@ def he_vec_size(cts: Iterable[bfv.Ciphertext]) -> float:
     return sum(size_mb(serial.dump_ciphertext(ct)) for ct in cts)
 
 
+def cipher_size(
+    ctx: bfv.Context,
+    ct: bfv.Ciphertext,
+    mod_switch: bool = False,
+    levels_from_last: int = 0,
+) -> float:
+    """Ciphertext size in MB, optionally after switching down the modulus
+    chain first (reference SEALZpCipher::get_cipher_size with
+    mod_switch/levels_from_last, SEAL_Cipher.cpp:363-378)."""
+    if mod_switch:
+        target = ct.data.shape[-2] - 1 - levels_from_last
+        while ct.data.shape[-2] > max(target, 1):
+            ct = ctx.mod_switch_to_next(ct)
+    return size_mb(serial.dump_ciphertext(ct))
+
+
 def sym_enc_data_size(records: np.ndarray, bits_per_word: int = 8) -> float:
     """PASTA ciphertext payload size in MB, counting 8 bytes per word as the
     reference's uint64 wire format does (reference sym_enc_data_size,

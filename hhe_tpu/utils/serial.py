@@ -18,12 +18,34 @@ import jax.numpy as jnp
 from ..ops import bfv
 
 MAGIC = b"HHE1"
+MAGIC_Z = b"HHEZ"  # zlib container (SEAL compr_mode_type::zlib, seal/util/ztools.h)
 _KIND_U32 = 0
 _KIND_I8 = 1
 
 KIND_CT = 1
 KIND_PK = 2
 KIND_KSK = 3
+
+
+def compress(buf: bytes, level: int = 6) -> bytes:
+    """Wrap a serialized payload in a zlib container (SEAL's optional
+    compressed save, seal/serialization.h + seal/util/ztools.h)."""
+    import zlib
+
+    return MAGIC_Z + struct.pack("<Q", len(buf)) + zlib.compress(buf, level)
+
+
+def decompress(buf: bytes) -> bytes:
+    """Transparently unwrap: returns the raw payload whether or not `buf`
+    is a zlib container."""
+    if buf[:4] != MAGIC_Z:
+        return buf
+    (raw_len,) = struct.unpack_from("<Q", buf, 4)
+    import zlib
+
+    out = zlib.decompress(buf[12:])
+    assert len(out) == raw_len, "corrupt compressed payload"
+    return out
 
 
 def dump_array(arr: np.ndarray) -> bytes:
@@ -59,6 +81,7 @@ def dump_ciphertext(ct: bfv.Ciphertext) -> bytes:
 
 
 def load_ciphertext(buf: bytes) -> bfv.Ciphertext:
+    buf = decompress(buf)
     arr, _ = load_array(buf)
     return bfv.Ciphertext(jnp.asarray(arr))
 
@@ -68,6 +91,7 @@ def dump_public_key(pk: bfv.PublicKey) -> bytes:
 
 
 def load_public_key(buf: bytes) -> bfv.PublicKey:
+    buf = decompress(buf)
     arr, _ = load_array(buf)
     return bfv.PublicKey(arr)
 
@@ -79,6 +103,7 @@ def dump_kswitch(k: bfv.KSwitchKey) -> bytes:
 
 
 def load_kswitch(buf: bytes) -> bfv.KSwitchKey:
+    buf = decompress(buf)
     (la,) = struct.unpack_from("<I", buf, 0)
     k0, _ = load_array(buf, 4)
     k1, _ = load_array(buf, 4 + la)
@@ -95,6 +120,7 @@ def dump_galois_keys(gks: dict) -> bytes:
 
 
 def load_galois_keys(buf: bytes) -> dict:
+    buf = decompress(buf)
     (n,) = struct.unpack_from("<I", buf, 0)
     off = 4
     out = {}
@@ -118,6 +144,7 @@ def dump_ciphertext_vec(cts: Sequence[bfv.Ciphertext]) -> bytes:
 
 
 def load_ciphertext_vec(buf: bytes) -> List[bfv.Ciphertext]:
+    buf = decompress(buf)
     (n,) = struct.unpack_from("<I", buf, 0)
     off = 4
     out = []

@@ -159,3 +159,26 @@ def test_large_degree_preset():
     v = rng.integers(0, ctx.t, 200, dtype=np.int64)
     ct = ctx.encrypt(pk, ctx.encode(v))
     assert np.array_equal(ctx.decode(ctx.decrypt(sk, ct))[:200], v)
+
+
+def test_mod_switch_to_next(ctx, keys):
+    """Dropping limbs keeps the plaintext intact and shrinks the wire size
+    (reference SEAL Evaluator::mod_switch_to_next; size accounting
+    SEAL_Cipher.cpp:363-378)."""
+    from hhe_tpu.utils import metrics
+
+    sk, pk = keys
+    v = rand_slots(ctx, 11)
+    ct = ctx.encrypt(pk, ctx.encode(v))
+    full_mb = metrics.cipher_size(ctx, ct)
+    budget0 = ctx.noise_budget(sk, ct)
+    ct1 = ctx.mod_switch_to_next(ct)
+    assert ct1.data.shape[-2] == ct.data.shape[-2] - 1
+    assert np.array_equal(ctx.decode(ctx.decrypt(sk, ct1)), v.astype(np.uint64))
+    assert ctx.noise_budget(sk, ct1) > 0
+    # two levels down still decrypts; size accounting reflects the drop
+    ct2 = ctx.mod_switch_to_next(ct1)
+    assert np.array_equal(ctx.decode(ctx.decrypt(sk, ct2)), v.astype(np.uint64))
+    small_mb = metrics.cipher_size(ctx, ct, mod_switch=True, levels_from_last=1)
+    assert small_mb < full_mb / 1.9
+    assert budget0 > 0

@@ -54,3 +54,26 @@ def test_metrics(ctx):
     with t.phase("x"):
         pass
     assert "x" in t.report_ms()
+
+
+def test_serial_zlib_container():
+    """Compressed save/load (SEAL's optional zlib compr_mode,
+    seal/serialization.h + seal/util/ztools.h): every load_* transparently
+    accepts both raw and compressed payloads."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from hhe_tpu.ops import bfv
+    from hhe_tpu.utils import serial
+
+    ct = bfv.Ciphertext(jnp.asarray(np.zeros((2, 3, 64), np.uint32)))
+    raw = serial.dump_ciphertext(ct)
+    z = serial.compress(raw)
+    assert len(z) < len(raw)  # zeros compress well
+    got = serial.load_ciphertext(z)
+    assert np.array_equal(np.asarray(got.data), np.asarray(ct.data))
+    got2 = serial.load_ciphertext(raw)
+    assert np.array_equal(np.asarray(got2.data), np.asarray(ct.data))
+    vec = serial.dump_ciphertext_vec([ct, ct])
+    back = serial.load_ciphertext_vec(serial.compress(vec))
+    assert len(back) == 2
