@@ -71,14 +71,27 @@ def main():
     jax.block_until_ready(out)
     compile_s = time.time() - t0
 
-    # NB: each rep materializes a small slice of its result — on lazy/remote
-    # backends, results that are never consumed may never execute, which
-    # would make a block_until_ready(last)-style loop report fantasy numbers.
+    # Latency: one block with a full host sync per call (includes the
+    # tunnel's ~1s device->host round trip under axon).
     t0 = time.time()
     for _ in range(reps):
         out = tc._jit_keystream(enc_key.data, mats_pt, rcs_pt, tc._keys())
         np.asarray(out[0, 0, :4])
-    per_block = (time.time() - t0) / reps
+    per_block_sync = (time.time() - t0) / reps
+
+    # Throughput (the headline): enqueue `reps` independent evaluations,
+    # then materialize a slice of EVERY result — each execution provably
+    # completed (unconsumed results on lazy/remote backends may never run,
+    # which would report fantasy numbers; consuming only the last has the
+    # same flaw for the earlier reps).
+    treps = max(reps, int(os.environ.get("BENCH_TREPS", "8")))
+    outs = []
+    t0 = time.time()
+    for _ in range(treps):
+        outs.append(tc._jit_keystream(enc_key.data, mats_pt, rcs_pt, tc._keys()))
+    for o in outs:
+        np.asarray(o[0, 0, :4])
+    per_block = (time.time() - t0) / treps
 
     value = 1.0 / per_block
     vs = value * BASELINE_BLOCK_S if BASELINE_BLOCK_S > 0 else 0.0
@@ -93,6 +106,7 @@ def main():
                     "n": n,
                     "limbs": limbs,
                     "block_ms": round(per_block * 1e3, 2),
+                    "block_ms_sync": round(per_block_sync * 1e3, 2),
                     "setup_s": round(setup_s, 1),
                     "compile_s": round(compile_s, 1),
                     "device": str(jax.devices()[0]),

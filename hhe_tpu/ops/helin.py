@@ -43,6 +43,26 @@ def decrypt_weight(
     return np.stack(out)
 
 
+def encrypt_bias(ctx: Context, pk: PublicKey, bias: np.ndarray) -> List[Ciphertext]:
+    """One ciphertext per bias element (reference sealhelper::encrypt_bias,
+    sealhelper.cpp:209-225, which encodes each scalar as a non-batched
+    plaintext). TPU-first divergence: we broadcast the scalar across all
+    slots so the encrypted bias composes with packed (slot-wise) adds."""
+    b = np.asarray(bias, np.int64).reshape(-1)
+    return [
+        ctx.encrypt(pk, ctx.encode(np.full(ctx.n, v % ctx.t, np.int64)))
+        for v in b
+    ]
+
+
+def decrypt_bias(ctx: Context, sk: SecretKey, cts: Sequence[Ciphertext]) -> np.ndarray:
+    """Inverse of encrypt_bias (reference sealhelper::decrypt_bias,
+    sealhelper.cpp:230-247): one signed scalar per ciphertext."""
+    return np.asarray(
+        [int(ctx.decode_signed(ctx.decrypt(sk, ct))[0]) for ct in cts], np.int64
+    )
+
+
 # ---------------------------------------------------------------------------
 # Masking / flattening (block stitching, reference SEAL_Cipher + CSP.cpp:235-283)
 # ---------------------------------------------------------------------------

@@ -106,3 +106,40 @@ class Timer:
 def print_time(name: str, ms: float) -> str:
     """Format like reference utils::print_time."""
     return f"{name}: {ms:.0f} (ms) = {ms/1e3:.3f} (s) = {ms/6e4:.3f} (min)"
+
+
+def print_parameters(ctx) -> str:
+    """Human-readable context summary (reference sealhelper::print_parameters,
+    sealhelper.cpp:46-96). Returns the string and prints it."""
+    p = ctx.params
+    q_bits = [int(q).bit_length() for q in ctx.q_moduli]
+    lines = [
+        "/",
+        "| Encryption parameters :",
+        "|   scheme: BFV (RNS, u32 Montgomery limbs)",
+        f"|   poly_modulus_degree: {ctx.n}",
+        f"|   coeff_modulus size: {sum(q_bits)} ({' + '.join(map(str, q_bits))}) bits"
+        f" + special {int(ctx.p_special).bit_length()} bits",
+        f"|   plain_modulus: {ctx.t}",
+        f"|   slots: {ctx.n} (2 x {ctx.n // 2} rows/columns)",
+        "\\",
+    ]
+    out = "\n".join(lines)
+    print(out)
+    return out
+
+
+def print_noise(ctx, sk, cts, tag: str = "ciphertext") -> list:
+    """Noise budgets of one or many ciphertexts (reference
+    SEALZpCipher::print_noise, SEAL_Cipher.cpp:71-99)."""
+    if isinstance(cts, bfv.Ciphertext):  # NamedTuples iterate over fields
+        cts = [cts]
+    budgets = [ctx.noise_budget(sk, ct) for ct in cts]
+    if len(budgets) == 1:
+        print(f"{tag} noise budget: {budgets[0]} bits")
+    else:
+        print(
+            f"{tag} noise budgets: min {min(budgets)} / max {max(budgets)} bits"
+            f" over {len(budgets)} cts"
+        )
+    return budgets

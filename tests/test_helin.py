@@ -67,3 +67,13 @@ def test_vec_sums(stack):
     got2 = ctx.decode(ctx.decrypt(sk, logd))
     assert int(got2[L - 1]) == total
     assert int(got2[0]) == total  # every slot holds the row total
+
+
+def test_encrypt_decrypt_bias(stack):
+    """Reference sealhelper::encrypt_bias/decrypt_bias (sealhelper.cpp:209-247)."""
+    ctx, sk, pk = stack
+    bias = np.array([5, -7, 0, 123])
+    cts = helin.encrypt_bias(ctx, pk, bias)
+    assert len(cts) == 4
+    got = helin.decrypt_bias(ctx, sk, cts)
+    assert got.tolist() == bias.tolist()
