@@ -243,6 +243,10 @@ def fc_init(
 def floor_isqrt(x):
     """Elementwise floor(sqrt(x)) for nonnegative int32 (reference
     pktmat::floorSqrt used by squareRootOf, pktnn_mat.cpp:929-944)."""
+    # Reference returns 0 for x <= 0 (negative reachable when the int32
+    # variance accumulation wraps) — clamp first; sqrt of a negative float
+    # would yield NaN with an undefined uint32 cast.
+    x = jnp.maximum(x, 0)
     # float32 estimate then exact repair in uint32 (squares up to 2^31 fit;
     # works without jax x64 and keeps TPU lanes 32-bit)
     s = jnp.floor(jnp.sqrt(x.astype(jnp.float32))).astype(jnp.uint32)

@@ -545,14 +545,18 @@ class Context:
         q_last = self.q_moduli[kc - 1]
         half = q_last >> 1
         out = np.empty((size, kc - 1, n), np.uint64)
+        invs = [
+            pow(int(q_last), -1, int(self.q_moduli[i])) for i in range(kc - 1)
+        ]
         for d in range(size):
             x_last = (c[d, kc - 1] + half) % q_last
             for i in range(kc - 1):
                 qi = self.q_moduli[i]
-                inv = pow(int(q_last), -1, int(qi))
                 tmp = (x_last % qi + qi - half % qi) % qi
-                out[d, i] = (((c[d, i] + qi - tmp) % qi) * inv) % qi
-        return Ciphertext(jnp.asarray(out))
+                out[d, i] = (((c[d, i] + qi - tmp) % qi) * invs[i]) % qi
+        # explicit u32 cast: the Ciphertext invariant is u32 [size,k,N] data;
+        # don't rely on jnp.asarray's x64-off downcast
+        return Ciphertext(jnp.asarray(out.astype(np.uint32)))
 
     def mod_switch_to(self, ct: Ciphertext, levels: int) -> Ciphertext:
         """Apply mod_switch_to_next `levels` times."""

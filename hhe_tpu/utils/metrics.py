@@ -56,10 +56,14 @@ def cipher_size(
 ) -> float:
     """Ciphertext size in MB, optionally after switching down the modulus
     chain first (reference SEALZpCipher::get_cipher_size with
-    mod_switch/levels_from_last, SEAL_Cipher.cpp:363-378)."""
+    mod_switch/levels_from_last, SEAL_Cipher.cpp:363-378).
+
+    The reference switches to the LAST (1-limb) context data, then walks UP
+    `levels_from_last` levels — so the final limb count is
+    ``1 + levels_from_last`` regardless of the starting level."""
     if mod_switch:
-        target = ct.data.shape[-2] - 1 - levels_from_last
-        while ct.data.shape[-2] > max(target, 1):
+        target = min(1 + levels_from_last, ct.data.shape[-2])
+        while ct.data.shape[-2] > target:
             ct = ctx.mod_switch_to_next(ct)
     return size_mb(serial.dump_ciphertext(ct))
 

@@ -43,8 +43,14 @@ def decompress(buf: bytes) -> bytes:
     (raw_len,) = struct.unpack_from("<Q", buf, 4)
     import zlib
 
-    out = zlib.decompress(buf[12:])
-    assert len(out) == raw_len, "corrupt compressed payload"
+    try:
+        out = zlib.decompress(buf[12:])
+    except zlib.error as e:
+        raise ValueError(f"corrupt compressed payload: {e}") from e
+    if len(out) != raw_len:
+        raise ValueError(
+            f"corrupt compressed payload: expected {raw_len} bytes, got {len(out)}"
+        )
     return out
 
 

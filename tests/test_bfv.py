@@ -182,3 +182,26 @@ def test_mod_switch_to_next(ctx, keys):
     small_mb = metrics.cipher_size(ctx, ct, mod_switch=True, levels_from_last=1)
     assert small_mb < full_mb / 1.9
     assert budget0 > 0
+
+
+def test_cipher_size_levels_from_last_semantics(ctx, keys):
+    """levels_from_last counts UP from the LAST (1-limb) level, exactly as
+    the reference (SEAL_Cipher.cpp:363-378: switch to last_context_data,
+    then prev_context_data ×levels_from_last → 1+levels_from_last limbs).
+    With 4 limbs this distinguishes the two interpretations: levels_from_last=0
+    must land on 1 limb (not 3), =2 on 3 limbs (not 1)."""
+    from hhe_tpu.utils import metrics
+
+    sk, pk = keys
+    v = rand_slots(ctx, 12)
+    ct = ctx.encrypt(pk, ctx.encode(v))
+    k = ct.data.shape[-2]
+    assert k == 4
+    mb1 = metrics.cipher_size(ctx, ct, mod_switch=True, levels_from_last=0)
+    mb3 = metrics.cipher_size(ctx, ct, mod_switch=True, levels_from_last=2)
+    mb_full = metrics.cipher_size(ctx, ct)
+    # sizes scale ~linearly with limb count: 1 vs 3 vs 4 limbs
+    assert mb1 < mb_full * 1.5 / 4
+    assert mb_full * 2.5 / 4 < mb3 < mb_full * 3.5 / 4
+    # clamping: levels_from_last beyond the chain leaves the ct untouched
+    assert metrics.cipher_size(ctx, ct, mod_switch=True, levels_from_last=9) == mb_full
