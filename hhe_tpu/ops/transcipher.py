@@ -26,6 +26,7 @@ so rotate-by-(-1) acts cyclically on the T-window (``pasta_3_seal.cpp:380-385``)
 
 from __future__ import annotations
 
+import collections
 import functools
 import math
 from typing import Dict, List, Optional, Tuple
@@ -35,7 +36,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from . import bfv, bfv_eval, ntt, pasta, rns
+from . import bfv, bfv_eval, kswitch_pallas, ntt, pasta, rns
 from .bfv import Ciphertext, Context, KSwitchKey, PublicKey
 from .modular import add_mod, mont_mul, neg_mod
 
@@ -101,18 +102,44 @@ class Transcipher:
         mask[1:T] = 1
         mask[half + 1 : half + T] = 1
         self.feistel_mask = ctx.plain_for_mul(ctx.encode(mask))
-        self._pt_cache: Dict[Tuple[int, int], Tuple[jnp.ndarray, jnp.ndarray]] = {}
-        self._ks_cache: Dict[Tuple[int, int, int], Ciphertext] = {}
+        # bounded LRU caches: round-material tensors are ~0.5 GB per block at
+        # production N, so unbounded caching OOMs the chip under fresh nonces
+        self._pt_cache: collections.OrderedDict = collections.OrderedDict()
+        self._pt_cache_max = 4
+        # keystream cts are small ([2,k,N]); cache value pins the enc_key
+        # array so its id() can't be recycled while the entry lives
+        self._ks_cache: collections.OrderedDict = collections.OrderedDict()
+        self._ks_cache_max = 64
         self._build_expand_consts()
         self._jit_keystream = jax.jit(self._keystream_impl)
         self._jit_keystream_seeded = jax.jit(self._keystream_seeded_impl)
         self._jit_expand = jax.jit(self._expand_round_mats)
+        self._jit_finish = jax.jit(self._finish_impl)
         # all blocks of a long input evaluated in ONE program: the homomorphic
         # ops batch across blocks (the reference loops blocks sequentially,
-        # ``pasta_3_seal.cpp:118``)
+        # ``pasta_3_seal.cpp:118``); the seeded variant expands each block's
+        # round material inside the program (nothing GB-scale materializes)
         self._jit_keystream_blocks = jax.jit(
             jax.vmap(self._keystream_impl, in_axes=(None, 0, 0, None))
         )
+        self._jit_keystream_blocks_seeded = jax.jit(
+            jax.vmap(self._keystream_seeded_impl, in_axes=(None, 0, 0, None))
+        )
+        # blocks per vmapped seeded program: each in-flight block expands
+        # ~4*T*(k+1)*N*4 bytes of round material inside the program
+        self.max_block_batch = 4
+
+    def _cache_put(self, cache, maxsize, key, value):
+        cache[key] = value
+        cache.move_to_end(key)
+        while len(cache) > maxsize:
+            cache.popitem(last=False)
+
+    def clear_caches(self):
+        """Free the device round-material / keystream caches (the round
+        material is ~0.5 GB per block at production N)."""
+        self._pt_cache.clear()
+        self._ks_cache.clear()
 
     def _build_bsgs_keys(self, gks: Dict[int, KSwitchKey]):
         """Precompute the batched BSGS material.
@@ -135,14 +162,16 @@ class Transcipher:
             src = bfv_eval.ntt_galois_src(ctx, elt)
             inv = jnp.asarray(np.argsort(src))
             k = gks[elt]
+            # moduli-major [k+1, kd, N] layout: the fused Pallas contraction
+            # streams [kd, tile] blocks per modulus (kswitch_pallas)
             return (
-                jnp.take(k.k0, inv, axis=-1),
-                jnp.take(k.k1, inv, axis=-1),
+                jnp.swapaxes(jnp.take(k.k0, inv, axis=-1), 0, 1),
+                jnp.swapaxes(jnp.take(k.k1, inv, axis=-1), 0, 1),
                 src,
             )
 
         baby = [inv_permuted(ctx.galois_elt_from_step(-j)) for j in range(1, self.n1)]
-        self.baby_k0 = jnp.stack([b[0] for b in baby])  # [n1-1, kd, k+1, N]
+        self.baby_k0 = jnp.stack([b[0] for b in baby])  # [n1-1, k+1, kd, N]
         self.baby_k1 = jnp.stack([b[1] for b in baby])
         ident = np.arange(ctx.n)
         # row 0 = identity: used for the rot_f0 fan-out (j = 0 term included)
@@ -209,6 +238,27 @@ class Transcipher:
         inv_map[ctx.encoder_map] = np.arange(n)
         self._enc_inv_map = jnp.asarray(inv_map)
         self._tb_t = ntt.build_tables((ctx.t,), n)
+        # device-side add_plain scaling constants (see _finish_impl):
+        # round(Q m / t) mod q_i = delta_i * m + fix, with
+        # fix = floor((r m + h)/t), r = Q mod t, h = (t+1)/2.  fix is
+        # recovered without 64-bit division as (r m + h - [r m + h]_t) * t^-1
+        # in wrapping u32 arithmetic (the true quotient fits u32).
+        from .modular import to_mont_host
+
+        t = int(ctx.t)
+        self._fin_r_mont = jnp.uint32(to_mont_host(np.uint64(int(ctx.q_mod_t) % t), t))
+        self._fin_r = jnp.uint32(int(ctx.q_mod_t) % (1 << 32))
+        self._fin_h = jnp.uint32((t + 1) // 2)
+        self._fin_inv_t = jnp.uint32(pow(t, -1, 1 << 32))
+        self._fin_delta_mont = jnp.asarray(
+            np.array(
+                [
+                    to_mont_host(np.uint64(int(d) % int(q)), int(q))
+                    for d, q in zip(ctx.delta_mod_q, ctx.q_moduli)
+                ],
+                np.uint32,
+            ).reshape(ctx.k, 1)
+        )
 
     def _expand_round_mats(self, first_rows: jnp.ndarray) -> jnp.ndarray:
         """first_rows u32 [8, T] (4 rounds x (mat1, mat2)) -> NTT+Mont
@@ -347,7 +397,7 @@ class Transcipher:
         else:
             mats_pt = ctx.plain_for_mul_batch(polys).reshape(4, T, ctx.k, ctx.n)
             out = (mats_pt, rcs_pt)
-        self._pt_cache[kcache] = out
+        self._cache_put(self._pt_cache, self._pt_cache_max, kcache, out)
         return out
 
     # ------------------------------------------------------------------
@@ -372,8 +422,17 @@ class Transcipher:
         return base
 
     def round_mats(self, mats, r: int):
-        """Slice block_plaintexts' matrix bundle for round r (mode-aware)."""
-        return (mats[0][r], mats[1][r]) if self.use_bsgs else mats[r]
+        """Slice the per-block matrix bundle for round r (mode-aware).
+
+        Host-precomputed bundles are (mats_q, mats_qp) tuples; the device-
+        expanded path caches ONE [4, T, k+1, N] tensor (half the HBM) and
+        the q-part slice happens here, fused inside the jit."""
+        if isinstance(mats, tuple):
+            return (mats[0][r], mats[1][r]) if self.use_bsgs else mats[r]
+        m = mats[r]
+        if m.shape[-2] == self.ctx.k + 1:
+            return (m[..., : self.ctx.k, :], m) if self.use_bsgs else m[..., : self.ctx.k, :]
+        return m
 
     def _matmul(self, st: Ciphertext, mats, keys) -> Ciphertext:
         if self.use_bsgs:
@@ -432,21 +491,31 @@ class Transcipher:
         f0 = ntt.ntt_fwd(st.data[0], ctx.tb_q)
         f1 = ntt.ntt_fwd(st.data[1], ctx.tb_q)
         fd = bfv_eval.hoist_digits(ctx, st.data[1])  # [kd, k+1, N] NTT(qP)
+        fd_t = jnp.swapaxes(fd, -3, -2)  # moduli-major [k+1, kd, N]
 
         # all n1 NTT-domain rotations of f0 at once (row 0 = identity)
         rot_f0 = jax.vmap(take_last, (None, 0))(f0, baby_srcs)  # [n1, k, N]
 
-        # babystep key contractions in the unpermuted frame
-        def contract(fdig, k0s, k1s):
-            # fdig [..., kd, k+1, N]; k0s/k1s [J, kd, k+1, N] -> [J, k+1, N]
-            a0 = mont_mul(fdig[..., 0, :, :], k0s[:, 0], qp, qpi)
-            a1 = mont_mul(fdig[..., 0, :, :], k1s[:, 0], qp, qpi)
+        # babystep key contractions in the unpermuted frame; keys are stored
+        # moduli-major [J, k+1, kd, N] for the fused Pallas kernel
+        def contract(fdig_t, k0s, k1s, pallas_fn):
+            if kswitch_pallas.available():
+                return pallas_fn(fdig_t, k0s, k1s, qp, qpi)
+            # canonical XLA path (bit-identical)
+            t0 = mont_mul(fdig_t[..., 0, :], k0s[..., 0, :], qp, qpi)
+            t1 = mont_mul(fdig_t[..., 0, :], k1s[..., 0, :], qp, qpi)
             for d in range(1, ctx.k):
-                a0 = add_mod(a0, mont_mul(fdig[..., d, :, :], k0s[:, d], qp, qpi), qp)
-                a1 = add_mod(a1, mont_mul(fdig[..., d, :, :], k1s[:, d], qp, qpi), qp)
-            return a0, a1
+                t0 = add_mod(
+                    t0, mont_mul(fdig_t[..., d, :], k0s[..., d, :], qp, qpi), qp
+                )
+                t1 = add_mod(
+                    t1, mont_mul(fdig_t[..., d, :], k1s[..., d, :], qp, qpi), qp
+                )
+            return t0, t1
 
-        b0, b1 = contract(fd, baby_k0, baby_k1)  # [n1-1, k+1, N]
+        b0, b1 = contract(
+            fd_t, baby_k0, baby_k1, kswitch_pallas.contract_bcast
+        )  # [n1-1, k+1, N]
         h0 = jax.vmap(take_last)(b0, baby_srcs[1:])
         h1 = jax.vmap(take_last)(b1, baby_srcs[1:])
 
@@ -487,7 +556,9 @@ class Transcipher:
             out0 = add_mod(out0, p0[g], q)
 
         fdg = bfv_eval.hoist_digits(ctx, i1[1:])  # [n2-1, kd, k+1, N]
-        g0, g1 = contract(fdg, giant_k0, giant_k1)  # [n2-1, k+1, N]
+        g0, g1 = contract(
+            jnp.swapaxes(fdg, -3, -2), giant_k0, giant_k1, kswitch_pallas.contract_pair
+        )  # [n2-1, k+1, N]
         hg0 = jax.vmap(take_last)(g0, giant_nsrc)
         hg1 = jax.vmap(take_last)(g1, giant_nsrc)
         accp0, accp1 = hg0[0], hg1[0]
@@ -512,6 +583,36 @@ class Transcipher:
         rot = bfv_eval.multiply_plain(ctx, rot, self.feistel_mask)
         rot = bfv_eval.relinearize(ctx, bfv_eval.square(ctx, rot), keys[0])
         return bfv_eval.add(ctx, st, rot)
+
+    def _finish_impl(self, ks_data, chunk) -> jnp.ndarray:
+        """Negate keystream + add the symmetric-ciphertext chunk, entirely on
+        device (reference ``pasta_3_seal.cpp:161-169``: negate + add_plain).
+
+        Encodes the chunk on device (slot scatter -> inverse NTT mod t) and
+        applies the BFV plain-add scaling round(Q m / t) mod q_i =
+        delta_i m + fix without 64-bit division: the true quotient
+        fix = floor((r m + h)/t) fits u32, so it is exactly
+        (r m + h - [r m + h]_t) * t^{-1} in wrapping u32 arithmetic.
+
+        ks_data [2, k, N]; chunk u32 [B, L<=T]; returns [2, B, k, N]."""
+        ctx = self.ctx
+        B = chunk.shape[0]
+        q, qi = ctx.tb_q.q, ctx.tb_q.qinv_neg
+        t_q, t_qi = self._tb_t.q[0], self._tb_t.qinv_neg[0]
+        slots = jnp.zeros((B, ctx.n), jnp.uint32).at[:, : chunk.shape[1]].set(chunk)
+        poly_br = jnp.take(slots, self._enc_inv_map, axis=-1)
+        m = ntt.ntt_inv(poly_br[..., None, :], self._tb_t)[..., 0, :]  # [B, N] mod t
+        rm_mod = mont_mul(m, self._fin_r_mont, t_q, t_qi)
+        rem = add_mod(rm_mod, self._fin_h, t_q)
+        x_lo = self._fin_r * m + self._fin_h  # wrapping u32
+        fix = (x_lo - rem) * self._fin_inv_t  # wrapping u32, exact quotient
+        dm = mont_mul(m[..., None, :], self._fin_delta_mont, q, qi)  # [B, k, N]
+        fixb = fix[..., None, :]
+        fixr = jnp.where(fixb >= q, fixb - q, fixb)
+        scaled = add_mod(dm, fixr, q)
+        c0 = add_mod(neg_mod(ks_data[0], q)[None], scaled, q)
+        c1 = jnp.broadcast_to(neg_mod(ks_data[1], q)[None], c0.shape)
+        return jnp.stack([c0, c1])
 
     def _keystream_impl(self, key_data, mats_pt, rcs_pt, keys) -> jnp.ndarray:
         """Full 3-round PASTA keystream evaluation on the encrypted key."""
@@ -547,8 +648,10 @@ class Transcipher:
         if ck not in self._ks_cache:
             mats_pt, rcs_pt = self.device_block_plaintexts(nonce, b, expand_on_device)
             out = self._jit_keystream(enc_key.data, mats_pt, rcs_pt, self._keys())
-            self._ks_cache[ck] = Ciphertext(out)
-        return self._ks_cache[ck]
+            self._cache_put(
+                self._ks_cache, self._ks_cache_max, ck, (enc_key.data, Ciphertext(out))
+            )
+        return self._ks_cache[ck][1]
 
     def device_block_plaintexts(
         self, nonce: int, b: int, expand_on_device: bool = True
@@ -562,43 +665,85 @@ class Transcipher:
         ck = ("dev", nonce, b)
         if ck not in self._pt_cache:
             mats_qp = self._jit_expand(self.block_first_rows(nonce, b))
-            mats = (
-                (mats_qp[..., : self.ctx.k, :], mats_qp)
-                if self.use_bsgs
-                else mats_qp[..., : self.ctx.k, :]
+            self._cache_put(
+                self._pt_cache,
+                self._pt_cache_max,
+                ck,
+                (mats_qp, self.block_rcs(nonce, b)),
             )
-            self._pt_cache[ck] = (mats, self.block_rcs(nonce, b))
         return self._pt_cache[ck]
 
     def keystream_blocks(
         self, enc_key: Ciphertext, nonce: int, blocks: List[int]
     ) -> List[Ciphertext]:
         """Keystream ciphertexts for several blocks in ONE batched program
-        (the homomorphic ops vectorize across the block axis; cached)."""
+        (the homomorphic ops vectorize across the block axis; cached).
+
+        Uses the seeded path: each block's round material is expanded from
+        its ~4 KB SHAKE seed INSIDE the program, so no [4,T,k+1,N] tensors
+        (~0.5 GB each at production N) ever materialize in HBM between
+        calls. Blocks run in chunks of max_block_batch to bound the in-
+        program expansion footprint."""
         missing = [
             b for b in blocks if (id(enc_key.data), nonce, b) not in self._ks_cache
         ]
         if len(missing) >= 2:
-            mats, rcs = zip(
-                *(self.device_block_plaintexts(nonce, b) for b in missing)
-            )
-            mats_st = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *mats)
-            rcs_st = jnp.stack(rcs)
-            outs = self._jit_keystream_blocks(
-                enc_key.data, mats_st, rcs_st, self._keys()
-            )
-            for i, b in enumerate(missing):
-                self._ks_cache[(id(enc_key.data), nonce, b)] = Ciphertext(outs[i])
+            for s in range(0, len(missing), self.max_block_batch):
+                group = missing[s : s + self.max_block_batch]
+                if len(group) == 1:
+                    self.keystream_ct(enc_key, nonce, group[0])
+                    continue
+                first = jnp.stack([self.block_first_rows(nonce, b) for b in group])
+                rcs = jnp.stack([self.block_rcs(nonce, b) for b in group])
+                outs = self._jit_keystream_blocks_seeded(
+                    enc_key.data, first, rcs, self._keys()
+                )
+                for i, b in enumerate(group):
+                    self._cache_put(
+                        self._ks_cache,
+                        self._ks_cache_max,
+                        (id(enc_key.data), nonce, b),
+                        (enc_key.data, Ciphertext(outs[i])),
+                    )
         return [self.keystream_ct(enc_key, nonce, b) for b in blocks]
 
+    def keystream_round_budgets(
+        self, enc_key: Ciphertext, sk, nonce: int = pasta.NONCE, b: int = 0
+    ) -> List[int]:
+        """Noise budget (bits) after each of the 4 keystream rounds — the
+        reference's per-round debug telemetry (``pasta_3_seal.cpp:73``,
+        print_noise inside HE_decrypt's round loop). Runs the round ops
+        eagerly so intermediates are observable; bit-identical math to the
+        jitted path."""
+        ctx = self.ctx
+        mats_pt, rcs_pt = self.device_block_plaintexts(nonce, b)
+        keys = self._keys()
+        st = Ciphertext(enc_key.data)
+        budgets = []
+        for r in range(4):
+            st = self._matmul(st, self.round_mats(mats_pt, r), keys)
+            st = bfv_eval.add_plain(ctx, st, rcs_pt[r])
+            st = self._mix(st, keys)
+            if r < 2:
+                st = self._sbox_feistel(st, keys)
+            elif r == 2:
+                st = bfv_eval.exponentiate(ctx, st, 3, keys[0])
+            budgets.append(ctx.noise_budget(sk, st))
+        return budgets
+
     def decompose(
-        self, enc_key: Ciphertext, sym_ct, nonce: int = pasta.NONCE
+        self, enc_key: Ciphertext, sym_ct, nonce: int = pasta.NONCE, mesh=None
     ) -> List[Ciphertext]:
         """PASTA ciphertexts -> BFV ciphertexts (reference decomposition).
 
         sym_ct: [L] or [B, L] u64.  Returns one ciphertext per 128-block; for
-        batched input each has data shape [2, B, k, N]."""
-        ctx = self.ctx
+        batched input each has data shape [2, B, k, N].
+
+        With ``mesh`` (axes ("batch", "limb")) the per-sample finish runs
+        with the sample batch sharded over the mesh's batch axis — the
+        reference's sequential per-record loop (``CSP.cpp:247-252``)
+        parallelized across chips.  Shard ``enc_key`` over the limb axis to
+        also distribute the keystream evaluation."""
         sym = np.asarray(sym_ct, np.uint64)
         batched = sym.ndim == 2
         sym2 = np.atleast_2d(sym)
@@ -608,14 +753,16 @@ class Transcipher:
         out = []
         for b in range(nblocks):
             ks = kss[b]
-            neg = bfv_eval.negate(ctx, ks)
-            chunk = sym2[:, b * T : min((b + 1) * T, L)]
-            pts = ctx.plain_for_add_batch(ctx.encode_batch(chunk))  # [B,k,N]
+            chunk = jnp.asarray(
+                sym2[:, b * T : min((b + 1) * T, L)].astype(np.uint32)
+            )  # tiny host->device transfer; encode + scale run on device
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                chunk = jax.device_put(chunk, NamedSharding(mesh, P("batch", None)))
+            res = self._jit_finish(ks.data, chunk)  # [2, B, k, N]
             if batched:
-                c0 = add_mod(neg.data[0][None], pts, ctx.tb_q.q)
-                c1 = jnp.broadcast_to(neg.data[1][None], c0.shape)
-                out.append(Ciphertext(jnp.stack([c0, c1])))
+                out.append(Ciphertext(res))
             else:
-                c0 = add_mod(neg.data[0], pts[0], ctx.tb_q.q)
-                out.append(Ciphertext(jnp.stack([c0, neg.data[1]])))
+                out.append(Ciphertext(res[:, 0]))
         return out

@@ -31,6 +31,8 @@ import jax.numpy as jnp
 from ..models import pocketnn
 from ..ops import bfv, bfv_eval, helin, pasta, transcipher
 from ..ops.bfv import BFVParams, Ciphertext, Context
+from ..utils import checks
+from ..utils.config import Config
 
 
 @dataclasses.dataclass
@@ -43,22 +45,52 @@ class HHEStack:
     rk: bfv.KSwitchKey
     gks: Dict[int, bfv.KSwitchKey]
     tc: transcipher.Transcipher
+    # The CSP's own secret key — distinct from the analyst's by protocol
+    # (reference CSP.cpp:220-230; checked at build time like
+    # hhe_pktnn_examples.cpp:811). Never used to decrypt analyst data.
+    csp_sk: Optional[bfv.SecretKey] = None
 
 
-def build_stack(params: Optional[BFVParams] = None, input_len: int = 300) -> HHEStack:
+def build_stack(
+    params: Optional[BFVParams] = None,
+    input_len: int = 300,
+    device_keygen: bool = False,
+    seed: int = 0,
+    config: Optional["Config"] = None,
+) -> HHEStack:
     """Analyst-side setup: context + all keys the protocol needs (reference
-    Analyst::generateHEKeys, Analyst.cpp:70-94,234-249)."""
+    Analyst::generateHEKeys, Analyst.cpp:70-94,234-249).
+
+    device_keygen generates the evaluation keys (relin + galois) on device
+    via the JAX PRNG — minutes faster than host keygen at production N and
+    nothing GB-scale crosses the host->device tunnel.
+
+    config (utils.config.Config) supplies the HE parameters and BSGS layout
+    when given (the reference's compiled-in config.cpp equivalent)."""
+    use_bsgs, n1, n2 = True, transcipher.BSGS_N1, transcipher.BSGS_N2
+    if config is not None:
+        params = params or config.he.to_bfv_params(seed)
+        use_bsgs, n1, n2 = config.he.use_bsgs, config.he.bsgs_n1, config.he.bsgs_n2
     ctx = Context(params or BFVParams())
     sk = ctx.keygen_secret()
     pk = ctx.keygen_public(sk)
-    rk = ctx.keygen_relin(sk)
     num_blocks = math.ceil(input_len / transcipher.T)
-    elts = set(transcipher.galois_elts(ctx))
+    elts = set(transcipher.galois_elts(ctx, use_bsgs, n1, n2))
     elts.update(helin.flatten_galois_elts(ctx, num_blocks, transcipher.T))
     elts.update(helin.vec_sum_galois_elts(ctx))
-    gks = ctx.keygen_galois(sk, sorted(elts))
-    tc = transcipher.Transcipher(ctx, rk, gks)
-    return HHEStack(ctx, sk, pk, rk, gks, tc)
+    if device_keygen:
+        rk, gks = ctx.keygen_eval_keys_device(
+            sk, sorted(elts), include_relin=True, seed=seed
+        )
+    else:
+        rk = ctx.keygen_relin(sk)
+        gks = ctx.keygen_galois(sk, sorted(elts))
+    tc = transcipher.Transcipher(ctx, rk, gks, use_bsgs=use_bsgs, n1=n1, n2=n2)
+    # CSP key hygiene: the CSP's own keypair must differ from the analyst's
+    # (reference protocol check checks.h:58-71, used hhe_pktnn_examples.cpp:811)
+    csp_sk = ctx.keygen_secret()
+    checks.are_same_he_sk(sk, csp_sk)
+    return HHEStack(ctx, sk, pk, rk, gks, tc, csp_sk=csp_sk)
 
 
 # ---------------------------------------------------------------------------
@@ -67,15 +99,21 @@ def build_stack(params: Optional[BFVParams] = None, input_len: int = 300) -> HHE
 
 
 def csp_decompose(
-    stack: HHEStack, enc_key: Ciphertext, sym_data: np.ndarray
+    stack: HHEStack,
+    enc_key: Ciphertext,
+    sym_data: np.ndarray,
+    nonce: int = pasta.NONCE,
+    mesh=None,
 ) -> Ciphertext:
     """Transcipher + postprocess (mask tail, flatten) for a batch [B, L]
     (reference CSP::decompose, CSP.cpp:235-283). Returns batched ct
-    [2, B, k, N] holding each sample in slots [0, L)."""
+    [2, B, k, N] holding each sample in slots [0, L).
+
+    With ``mesh`` the sample batch is sharded over the mesh batch axis."""
     ctx = stack.ctx
     sym_data = np.atleast_2d(np.asarray(sym_data, np.uint64))
     L = sym_data.shape[1]
-    blocks = stack.tc.decompose(enc_key, sym_data)
+    blocks = stack.tc.decompose(enc_key, sym_data, nonce=nonce, mesh=mesh)
     tail = L % transcipher.T
     if tail != 0:
         blocks[-1] = helin.mask(ctx, blocks[-1], helin.make_mask(ctx, tail))
@@ -195,6 +233,7 @@ def csp_eval_2fc(
     data_ct: Ciphertext,
     w1_cts: List[Ciphertext],
     w2_pts: jnp.ndarray,
+    row_chunk: Optional[int] = None,
 ) -> Ciphertext:
     """Encrypted 2FC forward (completes the reference's TODO,
     ``hhe_pktnn_examples.cpp:993-997``):
@@ -207,8 +246,20 @@ def csp_eval_2fc(
     3. fc2: multiply each squared row ct by a plaintext carrying w2[row, :]
        in slots 0..9 and tree-add -> ONE ciphertext with all logits packed.
 
-    data_ct: [2, k, N] or batched [2, B, k, N]."""
+    data_ct: [2, k, N] or batched [2, B, k, N].
+
+    row_chunk bounds peak memory at production N: the R hidden rows are
+    processed `row_chunk` at a time and the partial logit ciphertexts
+    added (bit-identical to the single pass)."""
     ctx = stack.ctx
+    if row_chunk is not None and row_chunk < len(w1_cts):
+        acc = None
+        for s in range(0, len(w1_cts), row_chunk):
+            part = csp_eval_2fc(
+                stack, data_ct, w1_cts[s : s + row_chunk], w2_pts[s : s + row_chunk]
+            )
+            acc = part if acc is None else bfv_eval.add(ctx, acc, part)
+        return acc
     dd = data_ct.data
     batched = dd.ndim == 4
     if not batched:
@@ -249,6 +300,7 @@ def hhe_2fc_inference(
     labels: Optional[np.ndarray] = None,
     via_transcipher: bool = True,
     check_parity: bool = True,
+    row_chunk: Optional[int] = None,
 ) -> Dict[str, np.ndarray]:
     """MNIST/FMNIST-style 784 -> R -> 10 encrypted inference with square
     activation (reference hhe_pktnn_2fc_inference, hhe_pktnn_examples.cpp:713-
@@ -281,7 +333,7 @@ def hhe_2fc_inference(
         )
         data_ct = Ciphertext(jnp.asarray(data))  # [2, B, k, N]
 
-    logits_ct = csp_eval_2fc(stack, data_ct, w1_cts, w2_pts)
+    logits_ct = csp_eval_2fc(stack, data_ct, w1_cts, w2_pts, row_chunk=row_chunk)
     logits = []
     for ct in _split_batch(logits_ct):
         dec = stack.ctx.decode_signed(stack.ctx.decrypt(stack.sk, ct))
