@@ -39,6 +39,9 @@ def _params(args) -> BFVParams:
 def _add_common(p):
     p.add_argument("--n", type=int, default=16384, help="BFV polynomial degree")
     p.add_argument("--limbs", type=int, default=13, help="RNS data limbs")
+    p.add_argument(
+        "--verbose", action="store_true", help="verbose logging (config::verbose)"
+    )
 
 
 def main(argv=None):
@@ -67,9 +70,14 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     if args.party == "csp":
+        from ..utils.config import RunConfig
         from .csp import CSP, CSPServer
 
-        csp = CSP(_params(args), workdir=args.workdir)
+        csp = CSP(
+            _params(args),
+            workdir=args.workdir,
+            run_config=RunConfig(verbose=args.verbose),
+        )
         server = CSPServer(csp, args.url)
         print(f"[CSP] serving on {args.url}")
         try:

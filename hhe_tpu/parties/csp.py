@@ -24,6 +24,7 @@ import numpy as np
 from ..ops import bfv, bfv_eval, helin, transcipher
 from ..ops.bfv import BFVParams, Context
 from ..utils import serial
+from ..utils.config import RunConfig
 from . import rpc
 from .gen import hhe_pb2 as pb
 
@@ -39,15 +40,35 @@ class AnalystState:
     weight_cts: Optional[List[bfv.Ciphertext]] = None
     enc_key: Optional[bfv.Ciphertext] = None
     decomposed: Dict[str, List[bfv.Ciphertext]] = dataclasses.field(default_factory=dict)
+    # submission length, recorded at addEncryptedData time and used by the
+    # evaluate paths (the reference hard-codes 300 at CSPRPC.cpp:196 — a
+    # deficiency deliberately not replicated)
+    input_len: Optional[int] = None
 
 
 class CSP:
-    def __init__(self, params: Optional[BFVParams] = None, workdir: str = "."):
+    def __init__(
+        self,
+        params: Optional[BFVParams] = None,
+        workdir: str = ".",
+        run_config: Optional[RunConfig] = None,
+    ):
         self.ctx = Context(params or BFVParams())
         self.workdir = workdir
+        self.run = run_config or RunConfig()
         self.analysts: Dict[str, AnalystState] = {}
         self.uuid_to_id: Dict[str, str] = {}
         self.lock = threading.RLock()
+        # The CSP holds its OWN HE keypair, distinct from every analyst's
+        # (reference CSP.cpp:220-230; the protocol check checks.h:58-71
+        # asserts the two parties' secret keys differ). It is never used to
+        # decrypt analyst data.
+        self.sk = self.ctx.keygen_secret()
+        self.pk = self.ctx.keygen_public(self.sk)
+
+    def _log(self, msg: str):
+        if self.run.verbose:
+            print(f"[CSP] {msg}")
 
     def state(self, analyst_id: str) -> AnalystState:
         with self.lock:
@@ -88,6 +109,7 @@ class CSP:
         decomposition file path."""
         st = self.state(analyst_id)
         input_len = records.shape[1]
+        self._log(f"decomposing {records.shape[0]} records of length {input_len}")
         data_ct = self._decompose(st, records, input_len)
         cts = self._split(data_ct)
         fname = os.path.join(self.workdir, f"{patient_id}_{st.uuid}.bin")
@@ -95,6 +117,7 @@ class CSP:
             f.write(serial.dump_ciphertext_vec(cts))
         with self.lock:
             st.decomposed[patient_id] = cts
+            st.input_len = input_len
         return fname
 
     def _decompose(self, st: AnalystState, records: np.ndarray, input_len: int):
@@ -120,9 +143,12 @@ class CSP:
     # ------------------------------------------------------------------
 
     def evaluate_model(
-        self, analyst_id: str, cts: List[bfv.Ciphertext], input_len: int
+        self, analyst_id: str, cts: List[bfv.Ciphertext], input_len: Optional[int] = None
     ) -> List[bfv.Ciphertext]:
         st = self.state(analyst_id)
+        if input_len is None:
+            input_len = st.input_len
+        self._log(f"evaluating {len(cts)} cts (input_len={input_len})")
         out = []
         for ct in cts:
             prod = bfv_eval.relinearize(
@@ -196,8 +222,7 @@ class CSPServer:
         cts = []
         for b in request.HHEDecomp:
             cts.extend(serial.load_ciphertext_vec(b))
-        input_len = self._input_len(cts[0])
-        results = self.csp.evaluate_model(analyst_id, cts, input_len)
+        results = self.csp.evaluate_model(analyst_id, cts)
         self._push_results(analyst_id, results)
         return pb.Empty()
 
@@ -210,13 +235,9 @@ class CSPServer:
         analyst_id = self.csp.uuid_to_id[uuid]
         with open(os.path.join(self.csp.workdir, base), "rb") as f:
             cts = serial.load_ciphertext_vec(f.read())
-        results = self.csp.evaluate_model(analyst_id, cts, self._input_len(cts[0]))
+        results = self.csp.evaluate_model(analyst_id, cts)
         self._push_results(analyst_id, results)
         return pb.Empty()
-
-    @staticmethod
-    def _input_len(ct) -> int:
-        return 300  # protocol constant, as in the reference (CSPRPC.cpp:196)
 
     def stop(self):
         self.server.stop(grace=None)

@@ -29,13 +29,29 @@ class HEConfig:
     # yields ~389 usable bits after the key-switch prime; we match that budget.
     data_modulus_bits: int = 390
     limb_bits: int = 30
-    use_bsgs: bool = False
-    bsgs_n1: int = 16
-    bsgs_n2: int = 8
+    # The reference defaults use_bsgs=false with N1=16, N2=8
+    # (config.cpp:20-21, pasta_3_seal.h:34-35); on TPU the hoisted BSGS
+    # matmul with a baby-heavy 32x4 split measures fastest and is the
+    # default everywhere (ops/transcipher.py:43-48).
+    use_bsgs: bool = True
+    bsgs_n1: int = 32
+    bsgs_n2: int = 4
     use_batch: bool = True
 
     def replace(self, **kw) -> "HEConfig":
         return dataclasses.replace(self, **kw)
+
+    def to_bfv_params(self, seed: int = 0):
+        """Bridge to the engine's parameter object (ops.bfv.BFVParams)."""
+        from ..ops.bfv import BFVParams
+
+        return BFVParams(
+            n=self.mod_degree,
+            t=self.plain_mod,
+            data_limb_bits=self.limb_bits,
+            data_limbs=-(-self.data_modulus_bits // self.limb_bits),
+            seed=seed,
+        )
 
 
 @dataclasses.dataclass(frozen=True)

@@ -66,6 +66,53 @@ def test_pad_batch():
     assert p.shape == (8, 2) and n == 5
 
 
+def test_sharded_transcipher_hot_path_bitexact():
+    """THE hot path — transcipher decompose (keystream: ~512 hoisted
+    key-switches) + encrypted FC eval — run under the ("batch", "limb") mesh:
+    the encrypted PASTA key is limb-sharded through the keystream, the
+    sample batch is batch-sharded through the finish and the ct x ct FC
+    eval.  Results must be bit-identical to the unsharded run and decrypt to
+    the plaintext dot product (the reference's per-record sequential loop,
+    CSP.cpp:247-252, parallelized — SURVEY §2.4 item 2)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from hhe_tpu.ops import pasta
+    from hhe_tpu.workloads import hhe_inference as wk
+
+    mesh = hmesh.make_hhe_mesh(8, limb_shards=2)
+    # 14 limbs: enough noise budget for the full 3-round keystream at
+    # N=1024 AND divisible by the 2-way limb axis
+    stack = wk.build_stack(
+        bfv.BFVParams(n=1024, data_limbs=14, seed=5), input_len=128
+    )
+    rng = np.random.default_rng(2)
+    B, L = 8, 128
+    x = rng.integers(0, 64, (B, L)).astype(np.uint64)
+    w = rng.integers(-3, 4, L)
+    key = pasta.get_fixed_symmetric_key()
+    sym = pasta.Pasta(key, stack.ctx.t).encrypt(x)
+    enc_key = stack.tc.encrypt_key(stack.pk, key)
+    weight_ct = helin.encrypt_weight(stack.ctx, stack.pk, w[None, :])[0]
+
+    # unsharded reference run
+    ct_plain = wk.csp_decompose(stack, enc_key, sym)
+    wct = bfv.Ciphertext(weight_ct.data[:, None])
+    out_plain = wk.csp_eval_1fc(stack, ct_plain, wct, do_sum=True)
+
+    # sharded run: limb-sharded keystream, batch-sharded finish + FC eval
+    stack.tc.clear_caches()
+    enc_key_sh = bfv.Ciphertext(
+        jax.device_put(enc_key.data, NamedSharding(mesh, P(None, "limb", None)))
+    )
+    ct_sh = wk.csp_decompose(stack, enc_key_sh, sym, mesh=mesh)
+    ct_sh = hmesh.shard_ciphertext_batch(ct_sh, mesh)
+    out_sh = wk.csp_eval_1fc(stack, ct_sh, wct, do_sum=True)
+
+    assert np.array_equal(np.asarray(out_plain.data), np.asarray(out_sh.data))
+    raw, _ = wk.analyst_decrypt_slot_sigmoid(stack, out_sh, L)
+    assert np.array_equal(raw, x.astype(np.int64) @ w)
+
+
 def test_sharded_ntt_poly_axis():
     """Four-step NTT with the polynomial coefficient axis sharded over an
     8-device `poly` mesh axis (all_to_all transposes on the ICI): roundtrip

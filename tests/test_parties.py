@@ -59,3 +59,87 @@ def test_three_party_protocol(tmp_path):
     finally:
         aserver.stop()
         cserver.stop()
+
+
+def test_two_analysts_long_input_over_wire(tmp_path):
+    """The reference's whole multi-tenant story (CSPRPC.cpp:316-327) plus the
+    300-length mask+flatten decompose path (CSP.cpp:260-283) exercised over
+    real gRPC: one CSP serves TWO analysts with different models; a user
+    submits 300-length records to each; each analyst gets its own correct
+    result."""
+    rng = np.random.default_rng(11)
+    L = 300
+    x = rng.integers(0, 16, (1, L))
+
+    csp = CSP(PARAMS, workdir=str(tmp_path))
+    cserver = CSPServer(csp, "localhost:50962")
+    analysts, aservers, ws = [], [], []
+    try:
+        for i, addr in enumerate(("localhost:50963", "localhost:50964")):
+            w = rng.integers(-3, 4, (L, 1))
+            ws.append(w)
+            a = Analyst(
+                bfv.BFVParams(n=1024, data_limbs=13, seed=100 + i), input_len=L
+            )
+            a.encrypt_model(w)
+            srv = AnalystServer(a, addr)
+            srv.publish_to_csp("localhost:50962")
+            analysts.append(a)
+            aservers.append(srv)
+
+        # protocol key hygiene: all parties' secret keys differ
+        from hhe_tpu.utils import checks
+
+        checks.are_same_he_sk(analysts[0].sk, analysts[1].sk)
+        checks.are_same_he_sk(analysts[0].sk, csp.sk)
+        checks.are_same_he_sk(analysts[1].sk, csp.sk)
+
+        for i, addr in enumerate(("localhost:50963", "localhost:50964")):
+            user = User(PARAMS, data=x)
+            user.submit(addr, "localhost:50962", f"p{i}")
+            # CSP recorded the true submission length (no hard-coded 300)
+            assert csp.state(addr).input_len == L
+
+            client = rpc.csp_client("localhost:50962")
+            client.call(
+                "evaluateModelFromFile",
+                pb.DataFile(filename=f"p{i}_{analysts[i].uuid}.bin"),
+            )
+            client.close()
+            assert aservers[i].results_ready.wait(timeout=300)
+
+        for i in range(2):
+            expect = x.astype(np.int64) @ ws[i].reshape(-1)
+            assert np.array_equal(np.asarray(analysts[i].raw_results), expect), i
+    finally:
+        for srv in aservers:
+            srv.stop()
+        cserver.stop()
+
+
+def test_typed_grpc_status_on_bad_payload(tmp_path):
+    """Bad payloads map to typed statuses, not UNKNOWN (reference
+    CSPRPC.cpp:241-244 returns Status(DATA_LOSS, ...))."""
+    import grpc
+
+    csp = CSP(PARAMS, workdir=str(tmp_path))
+    cserver = CSPServer(csp, "localhost:50965")
+    try:
+        client = rpc.csp_client("localhost:50965")
+        msg = pb.EncSymmetricKeysMsg()
+        msg.key.append(pb.CiphertextMsg(data=b"garbage-not-a-ciphertext", length=24))
+        with pytest.raises(grpc.RpcError) as ei:
+            client.call("addEncryptedKeys", msg, metadata=(("analystid", "a"),))
+        assert ei.value.code() == grpc.StatusCode.DATA_LOSS
+        # missing checkpoint file -> NOT_FOUND
+        with pytest.raises(grpc.RpcError) as ei:
+            client.call(
+                "evaluateModelFromFile", pb.DataFile(filename="nope_deadbeef.bin")
+            )
+        assert ei.value.code() in (
+            grpc.StatusCode.NOT_FOUND,
+            grpc.StatusCode.DATA_LOSS,
+        )
+        client.close()
+    finally:
+        cserver.stop()

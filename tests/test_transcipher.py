@@ -13,12 +13,17 @@ import pytest
 from hhe_tpu.ops import bfv, bfv_eval, pasta, transcipher
 
 
-def make_stack(n, limbs, seed=11, use_bsgs=True):
+def make_stack(n, limbs, seed=11, use_bsgs=True, device_keygen=False):
     ctx = bfv.Context(bfv.BFVParams(n=n, data_limbs=limbs, seed=seed))
     sk = ctx.keygen_secret()
     pk = ctx.keygen_public(sk)
-    rk = ctx.keygen_relin(sk)
-    gks = ctx.keygen_galois(sk, transcipher.galois_elts(ctx, use_bsgs))
+    if device_keygen:
+        rk, gks = ctx.keygen_eval_keys_device(
+            sk, transcipher.galois_elts(ctx, use_bsgs), include_relin=True, seed=seed
+        )
+    else:
+        rk = ctx.keygen_relin(sk)
+        gks = ctx.keygen_galois(sk, transcipher.galois_elts(ctx, use_bsgs))
     tc = transcipher.Transcipher(ctx, rk, gks, use_bsgs=use_bsgs)
     return ctx, sk, pk, tc
 
@@ -80,8 +85,14 @@ def test_feistel_sbox_parity(small_stack):
 @pytest.mark.slow
 def test_full_decomposition_parity():
     """decompose(PASTA_encrypt(x)) decrypts to x on the production context
-    (N=16384, t=65537 — reference config.cpp:15-21)."""
-    ctx, sk, pk, tc = make_stack(16384, 13, seed=1)
+    (N=16384, t=65537 — reference config.cpp:15-21), with a HEALTHY noise
+    margin (>=40 bits) and per-round budget telemetry (reference debug path
+    pasta_3_seal.cpp:73).
+
+    Eval keys are generated on device (batched JAX keygen) — host keygen of
+    ~40 N=16384 galois keys took tens of minutes in numpy. Expected runtime:
+    a few minutes warm (persistent compile cache), ~10 min cold."""
+    ctx, sk, pk, tc = make_stack(16384, 13, seed=1, device_keygen=True)
     key = pasta.get_fixed_symmetric_key()
     cipher = pasta.Pasta(key, ctx.t)
     rng = np.random.default_rng(5)
@@ -93,6 +104,10 @@ def test_full_decomposition_parity():
     data = np.asarray(res[0].data)  # [2, B, k, N]
     for i in range(2):
         ct_i = bfv.Ciphertext(data[:, i])
-        assert ctx.noise_budget(sk, ct_i) > 0, "noise exhausted"
+        assert ctx.noise_budget(sk, ct_i) >= 40, "noise margin unhealthy"
         got = ctx.decode(ctx.decrypt(sk, ct_i))[: transcipher.T]
         assert np.array_equal(got, x[i]), f"sample {i} mismatch"
+    # per-round telemetry: budgets monotonically decrease, end healthy
+    budgets = tc.keystream_round_budgets(enc_key, sk)
+    assert all(b1 >= b2 for b1, b2 in zip(budgets, budgets[1:])), budgets
+    assert budgets[-1] >= 40, budgets
