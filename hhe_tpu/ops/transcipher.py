@@ -36,7 +36,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from . import bfv, bfv_eval, kswitch_pallas, ntt, pasta, rns
+from . import bfv, bfv_eval, ntt, pasta, rns
 from .bfv import Ciphertext, Context, KSwitchKey, PublicKey
 from .modular import add_mod, mont_mul, neg_mod
 
@@ -496,12 +496,14 @@ class Transcipher:
         # all n1 NTT-domain rotations of f0 at once (row 0 = identity)
         rot_f0 = jax.vmap(take_last, (None, 0))(f0, baby_srcs)  # [n1, k, N]
 
-        # babystep key contractions in the unpermuted frame; keys are stored
-        # moduli-major [J, k+1, kd, N] for the fused Pallas kernel
-        def contract(fdig_t, k0s, k1s, pallas_fn):
-            if kswitch_pallas.available():
-                return pallas_fn(fdig_t, k0s, k1s, qp, qpi)
-            # canonical XLA path (bit-identical)
+        # babystep key contractions in the unpermuted frame (keys stored
+        # moduli-major [J, k+1, kd, N]).  Measured on TPU v5e: this XLA
+        # multiply-accumulate runs at ~680 GB/s of key traffic — HBM peak —
+        # so a fused Pallas variant cannot beat it (a VMEM-resident kernel
+        # was built and measured 6x SLOWER: the VPU has no native u32
+        # widening multiply, so the 16-bit-digit Montgomery math is
+        # compute-bound in-kernel while XLA's fusion is bandwidth-bound).
+        def contract(fdig_t, k0s, k1s):
             t0 = mont_mul(fdig_t[..., 0, :], k0s[..., 0, :], qp, qpi)
             t1 = mont_mul(fdig_t[..., 0, :], k1s[..., 0, :], qp, qpi)
             for d in range(1, ctx.k):
@@ -513,9 +515,7 @@ class Transcipher:
                 )
             return t0, t1
 
-        b0, b1 = contract(
-            fd_t, baby_k0, baby_k1, kswitch_pallas.contract_bcast
-        )  # [n1-1, k+1, N]
+        b0, b1 = contract(fd_t, baby_k0, baby_k1)  # [n1-1, k+1, N]
         h0 = jax.vmap(take_last)(b0, baby_srcs[1:])
         h1 = jax.vmap(take_last)(b1, baby_srcs[1:])
 
@@ -557,7 +557,7 @@ class Transcipher:
 
         fdg = bfv_eval.hoist_digits(ctx, i1[1:])  # [n2-1, kd, k+1, N]
         g0, g1 = contract(
-            jnp.swapaxes(fdg, -3, -2), giant_k0, giant_k1, kswitch_pallas.contract_pair
+            jnp.swapaxes(fdg, -3, -2), giant_k0, giant_k1
         )  # [n2-1, k+1, N]
         hg0 = jax.vmap(take_last)(g0, giant_nsrc)
         hg1 = jax.vmap(take_last)(g1, giant_nsrc)
