@@ -179,23 +179,17 @@ def main():
         x_img, y = loaders.load_mnist_test(limit=mnist_b)
         samples = np.asarray(x_img, np.int64)
         w1_cts = helin.encrypt_weight(ctx, stack.pk, np.asarray(w1, np.int64).T)
-        w2_pts = ctx.plain_for_mul_batch(
-            ctx.encode_batch(np.asarray(w2, np.int64) % ctx.t)
-        )
         m_nonce = nonce + 1000
         sym = cipher.encrypt(samples.astype(np.uint64), nonce=m_nonce)
         t0 = time.time()
         data_ct = hi.csp_decompose(stack, enc_key, sym, nonce=m_nonce)
-        logits_ct = hi.csp_eval_2fc(stack, data_ct, w1_cts, w2_pts, row_chunk=32)
+        logits_ct = hi.csp_eval_2fc(
+            stack, data_ct, w1_cts, np.asarray(w2, np.int64), row_chunk=32
+        )
         np.asarray(logits_ct.data[0][..., 0, :4])
         mnist_s = time.time() - t0
         # parity vs plaintext mod-t (outside the timed region)
-        logits = np.stack(
-            [
-                ctx.decode_signed(ctx.decrypt(stack.sk, ct))[:10]
-                for ct in hi._split_batch(logits_ct)
-            ]
-        )
+        logits = hi.decrypt_2fc_logits(stack, logits_ct)
         t = ctx.t
         v1 = (samples @ np.asarray(w1, np.int64)) % t
         expect = ((v1 * v1) % t @ np.asarray(w2, np.int64)) % t

@@ -248,13 +248,31 @@ class Context:
         s = self._sample_ternary()
         return SecretKey(s.astype(np.int8), self._small_to_rns(s, self.q_moduli).astype(np.uint32))
 
-    def keygen_public(self, sk: SecretKey) -> PublicKey:
-        """pk = (-(a s + e), a) over base q, coefficient domain."""
+    def keygen_public(self, sk: SecretKey, mesh=None) -> PublicKey:
+        """pk = (-(a s + e), a) over base q, coefficient domain.
+
+        With ``mesh`` (a jax Mesh with a "poly" axis) the a*s products run
+        through the sharded four-step NTT (``parallel.ntt_shard``) with the
+        polynomial coefficient axis split across devices — the intended
+        backend for the reference's 65536 large preset
+        (``SEAL_Cipher.cpp:47-61``) where a single polynomial's transforms
+        dominate.  Bit-identical to the host path."""
         a = self._sample_uniform(self.q_moduli)
         e = self._sample_cbd()
         s_rns = self._small_to_rns(sk.s_small, self.q_moduli)
         e_rns = self._small_to_rns(e, self.q_moduli)
         pk0 = np.empty_like(a)
+        if mesh is not None:
+            from ..parallel import ntt_shard
+
+            sn = ntt_shard.ShardedNtt(self.q_moduli, self.n, mesh)
+            as_all = np.asarray(
+                sn.negacyclic_mul(a.astype(np.uint32), s_rns.astype(np.uint32)),
+                np.uint64,
+            )
+            for i, q in enumerate(self.q_moduli):
+                pk0[i] = (q - (as_all[i] + e_rns[i]) % q) % q
+            return PublicKey(np.stack([pk0, a]).astype(np.uint32))
         for i, q in enumerate(self.q_moduli):
             as_ = ntt.poly_mul_host(a[i], s_rns[i], q)
             pk0[i] = (q - (as_ + e_rns[i]) % q) % q

@@ -19,6 +19,15 @@ Operands are split into 6-bit digits (both < 64, so int8 products of
 products recombined with Montgomery multiplications by 2^(6s) mod q.
 Outputs are permuted to the same bit-reversed order as ``ntt.ntt_fwd`` so
 the two implementations are interchangeable everywhere (verified exactly).
+
+**Backend decision (measured, TPU v5e, slope method on [13,14,16384]):**
+fused Pallas butterflies (``ntt_pallas``) fwd 1.02 ms / inv 2.34 ms;
+this MXU formulation fwd 6.40 ms / inv 6.63 ms — the 6-bit digit
+split-and-recombine (25 digit-pair matmuls + Montgomery recombination per
+transform) costs more than the MXU saves.  ``ntt.py`` therefore dispatches
+to the Pallas kernel; this module is QUARANTINED as a documented,
+exact-tested alternative (tests/test_modular_ntt.py keeps it honest) and
+is not on any product path.
 """
 
 from __future__ import annotations

@@ -228,11 +228,28 @@ def hhe_1fc_inference(
     return {"raw": raw, "predictions": preds}
 
 
+def _fc2_scalar_consts(ctx: Context, w2: np.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Montgomery |w2| per limb + sign mask for the small-norm fc2."""
+    from ..ops import modular
+
+    w2 = np.asarray(w2, np.int64)
+    R, C = w2.shape
+    k = ctx.k
+    mont = np.zeros((R, C, k, 1), np.uint32)
+    for i, q in enumerate(ctx.q_moduli):
+        for r in range(R):
+            for c in range(C):
+                mont[r, c, i, 0] = modular.to_mont_host(
+                    np.uint64(abs(int(w2[r, c])) % int(q)), int(q)
+                )
+    return jnp.asarray(mont), jnp.asarray((w2 < 0)[:, :, None, None])
+
+
 def csp_eval_2fc(
     stack: HHEStack,
     data_ct: Ciphertext,
     w1_cts: List[Ciphertext],
-    w2_pts: jnp.ndarray,
+    w2: np.ndarray,
     row_chunk: Optional[int] = None,
 ) -> Ciphertext:
     """Encrypted 2FC forward (completes the reference's TODO,
@@ -243,20 +260,30 @@ def csp_eval_2fc(
        relinearize, log-depth rotate-reduce (each row ct then holds its
        neuron's value in every slot).
     2. square activation: batched ct x ct square + relinearize.
-    3. fc2: multiply each squared row ct by a plaintext carrying w2[row, :]
-       in slots 0..9 and tree-add -> ONE ciphertext with all logits packed.
+    3. fc2: the quantized second-layer weights are tiny integers, so each
+       logit is a SMALL-NORM scalar combination logit_c = sum_r
+       sign(w2[r,c]) * |w2[r,c]| * sq_r — scalar Montgomery multiplies +
+       negates + adds, costing ~log2(sum|w2|) noise bits instead of the
+       ~log2(N*t) a full-slot plaintext multiply would burn (which is what
+       exhausts the post-transcipher budget at production N).
+
+    Returns a class-batched ciphertext [2, B, C, k, N] (or [2, C, k, N]
+    unbatched): logit c lives in EVERY slot of class-ct c.
 
     data_ct: [2, k, N] or batched [2, B, k, N].
 
     row_chunk bounds peak memory at production N: the R hidden rows are
     processed `row_chunk` at a time and the partial logit ciphertexts
     added (bit-identical to the single pass)."""
+    from ..ops.modular import add_mod, mont_mul, neg_mod
+
     ctx = stack.ctx
+    w2 = np.asarray(w2, np.int64)
     if row_chunk is not None and row_chunk < len(w1_cts):
         acc = None
         for s in range(0, len(w1_cts), row_chunk):
             part = csp_eval_2fc(
-                stack, data_ct, w1_cts[s : s + row_chunk], w2_pts[s : s + row_chunk]
+                stack, data_ct, w1_cts[s : s + row_chunk], w2[s : s + row_chunk]
             )
             acc = part if acc is None else bfv_eval.add(ctx, acc, part)
         return acc
@@ -269,26 +296,35 @@ def csp_eval_2fc(
     b = Ciphertext(wstack[:, None])  # [2, 1, R, k, N]
     prod = bfv_eval.relinearize(ctx, bfv_eval.multiply(ctx, a, b), stack.rk)
     sums = helin.encrypted_vec_sum_log(ctx, prod, stack.gks)  # [2, B, R, k, N]
-    sq = bfv_eval.relinearize(ctx, bfv_eval.square(ctx, sums), stack.rk)
-    # fc2: plaintext w2 rows (slots 0..9), tree-add over R
-    terms = bfv_eval.multiply_plain(ctx, sq, w2_pts).data  # [2, B, R, k, N]
+    sq = bfv_eval.relinearize(ctx, bfv_eval.square(ctx, sums), stack.rk).data
+    # fc2: accumulate scalar-weighted rows per class
     q = ctx.tb_q.q
-    from ..ops.modular import add_mod
+    w2_mont, w2_neg = _fc2_scalar_consts(ctx, w2)
+    R = sq.shape[2]
+    acc = None
+    for r in range(R):
+        term = mont_mul(sq[:, :, r : r + 1], w2_mont[r][None, None], q, ctx.tb_q.qinv_neg)
+        term = jnp.where(w2_neg[r][None, None], neg_mod(term, q), term)
+        acc = term if acc is None else add_mod(acc, term, q)  # [2, B, C, k, N]
+    logits = Ciphertext(acc if batched else acc[:, 0])
+    return logits
 
-    acc = terms
-    r = acc.shape[2]
-    while r > 1:
-        half = r // 2
-        left = acc[:, :, :half]
-        right = acc[:, :, half : 2 * half]
-        merged = add_mod(left, right, q)
-        if r % 2:
-            merged = jnp.concatenate([merged, acc[:, :, -1:]], axis=2)
-            r = half + 1
-        else:
-            r = half
-        acc = merged
-    logits = Ciphertext(acc[:, :, 0] if batched else acc[:, 0, 0])
+
+def decrypt_2fc_logits(stack: HHEStack, logits_ct: Ciphertext) -> np.ndarray:
+    """Class-batched logits ct [2, (B,) C, k, N] -> [B, C] signed logits
+    (logit c lives in every slot of class-ct c; slot 0 is read)."""
+    ctx = stack.ctx
+    data = np.asarray(logits_ct.data)
+    if data.ndim == 4:  # unbatched [2, C, k, N]
+        data = data[:, None]
+    B, C = data.shape[1], data.shape[2]
+    logits = np.empty((B, C), np.int64)
+    for i in range(B):
+        for c in range(C):
+            dec = ctx.decode_signed(
+                ctx.decrypt(stack.sk, Ciphertext(jnp.asarray(data[:, i, c])))
+            )
+            logits[i, c] = int(dec[0])
     return logits
 
 
@@ -317,9 +353,6 @@ def hhe_2fc_inference(
     in_dim, R = w1.shape
 
     w1_cts = helin.encrypt_weight(ctx, stack.pk, w1.T)  # one ct per output row
-    w2_pts = ctx.plain_for_mul_batch(
-        ctx.encode_batch(np.asarray(w2) % ctx.t)
-    )  # [R, k, N]
 
     if via_transcipher:
         key = pasta.get_fixed_symmetric_key()
@@ -333,12 +366,8 @@ def hhe_2fc_inference(
         )
         data_ct = Ciphertext(jnp.asarray(data))  # [2, B, k, N]
 
-    logits_ct = csp_eval_2fc(stack, data_ct, w1_cts, w2_pts, row_chunk=row_chunk)
-    logits = []
-    for ct in _split_batch(logits_ct):
-        dec = stack.ctx.decode_signed(stack.ctx.decrypt(stack.sk, ct))
-        logits.append(dec[:10])
-    logits = np.stack(logits)
+    logits_ct = csp_eval_2fc(stack, data_ct, w1_cts, w2, row_chunk=row_chunk)
+    logits = decrypt_2fc_logits(stack, logits_ct)
     preds = logits.argmax(1)
 
     if check_parity:

@@ -143,8 +143,10 @@ def test_device_keygen_eval_keys(ctx, keys):
 def test_large_degree_preset():
     """The reference's 65536 large preset (SEAL_Cipher.cpp:47-61): the full
     1740-bit-class prime chain exists, and a reduced-limb context at that
-    degree encrypts/decrypts + rotates correctly (full-width keys are
-    exercised on the 16384 production context elsewhere)."""
+    degree encrypts/decrypts AND performs a real rotation (galois key-switch).
+    The full 58-limb chain (keygen, rotation, transcipher round, sharded
+    NTT keygen backend) is exercised by the slow tests in
+    tests/test_large_preset.py."""
     from hhe_tpu.ops import primes
 
     params_full = bfv.large_params()
@@ -159,6 +161,17 @@ def test_large_degree_preset():
     v = rng.integers(0, ctx.t, 200, dtype=np.int64)
     ct = ctx.encrypt(pk, ctx.encode(v))
     assert np.array_equal(ctx.decode(ctx.decrypt(sk, ct))[:200], v)
+    # a real rotation at this degree: keygen + hybrid key-switch + decrypt
+    g = ctx.galois_elt_from_step(3)
+    gks = ctx.keygen_galois(sk, [g])
+    rot = bfv_eval.rotate_rows(ctx, ct, 3, gks)
+    assert ctx.noise_budget(sk, rot) > 0
+    got = ctx.decode(ctx.decrypt(sk, rot))
+    half = ctx.n // 2
+    vv = np.zeros(ctx.n, np.uint64)
+    vv[:200] = v
+    expect = np.roll(vv.reshape(2, half), -3, axis=1).reshape(-1)
+    assert np.array_equal(got, expect)
 
 
 def test_mod_switch_to_next(ctx, keys):
