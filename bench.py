@@ -1,25 +1,32 @@
 #!/usr/bin/env python
 """Headline benchmark: the BASELINE.md north-star metric set.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} with the
-full metric set in "detail".
+Prints the JSON result line `{"metric", "value", "unit", "vs_baseline",
+"detail"}` after EVERY completed stage (last line wins), so a timeout at any
+point still leaves the best-so-far numbers on stdout — a bench that can die
+with zero output is a broken bench (round-2 lesson).  Stages that would bust
+the wall-clock budget (BENCH_BUDGET_S, default 1500 s) are skipped and
+recorded in detail["skipped"].
 
 Headline = **batch-amortized PASTA->BFV transcipher throughput** at the
 reference's production parameters (BFV N=16384, t=65537 — reference
-``configs/config.cpp:15-21``). The keystream ciphertext depends only on
+``configs/config.cpp:15-21``).  The keystream ciphertext depends only on
 (key, nonce, block), so transciphering a B-sample batch costs ~one
 homomorphic keystream evaluation + B cheap negate/add_plain ops — the
 design's headline win over the reference's per-record loop
-(``CSP.cpp:247-252``). Measured honestly: every rep uses a FRESH nonce (no
+(``CSP.cpp:247-252``).  Measured honestly: every rep uses a FRESH nonce (no
 cache reuse across reps) and every result is materialized.
 
 detail also carries:
-- transcipher samples/s at B in {1, 16, 64} and the single-block latency
-  (sync + pipelined)
+- transcipher samples/s at B in {1, 16, 64} and single-block latency (sync)
+- NTT throughput in butterflies/s/chip for the production forward NTT
+- a roofline statement: HBM bytes the keystream must move per block vs the
+  measured XLA streaming rate — i.e. what fraction of speed-of-light the
+  block time achieves
 - encrypted MNIST 2FC (784->128->square->10, shipped QAT weights)
   inferences/s — the reference's fc2 TODO completed homomorphically
   (``hhe_pktnn_examples.cpp:993-997``)
-- NTT throughput in butterflies/s/chip for the production forward NTT
+- one device keystream block at the large preset N=65536 (reduced limbs)
 
 vs_baseline note: the baseline (BASELINE.md) is the reference C++
 single-threaded *sequential* per-block decomposition time (22.66 s,
@@ -37,16 +44,44 @@ import time
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
+
+import jax
+
+# persistent compile cache: the driver's end-of-round run must hit the cache
+# warmed by in-round runs instead of cold-compiling ~20 min of graphs
+from hhe_tpu.utils import cache as _cache
+
+_cache.enable()
 
 # Reference C++ (SEAL 4.0, this machine's CPU, single thread) seconds per
 # decomposition block; measured via tools/ref_bench: 22.66 s/block at
 # N=16384, t=65537 (parity OK). See BASELINE.md.
 BASELINE_BLOCK_S = float(os.environ.get("HHE_BASELINE_BLOCK_S", "22.66"))
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+START = time.time()
+
+RESULT = {
+    "metric": "pasta_bfv_transcipher_samples_per_s_batch64",
+    "value": None,
+    "unit": "samples/s",
+    "vs_baseline": None,
+    "detail": {"skipped": []},
+}
+
+
+def _remaining():
+    return BUDGET_S - (time.time() - START)
 
 
 def _log(msg):
-    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+    print(f"[bench] {msg} (t+{time.time()-START:.0f}s)", file=sys.stderr, flush=True)
+
+
+def _emit():
+    RESULT["detail"]["elapsed_s"] = round(time.time() - START, 1)
+    print(json.dumps(RESULT), flush=True)
 
 
 def _time_decompose(stack, enc_key, cipher, data, nonce, reps):
@@ -68,21 +103,10 @@ def _time_decompose(stack, enc_key, cipher, data, nonce, reps):
     return min(ts), nonce
 
 
-def main():
-    n = int(os.environ.get("BENCH_N", "16384"))
-    limbs = {2048: 4, 4096: 4, 8192: 7, 16384: 13}.get(n, 13)
-    reps = int(os.environ.get("BENCH_REPS", "3"))
-    mnist_b = int(os.environ.get("BENCH_MNIST_B", "2"))
-
-    import jax
-
-    from hhe_tpu.models import loaders, pocketnn
-    from hhe_tpu.ops import bfv, ntt, pasta, transcipher
+def stage_throughput(detail, n, limbs, reps):
+    from hhe_tpu.ops import bfv, pasta, transcipher
     from hhe_tpu.workloads import hhe_inference as hi
 
-    detail = {"n": n, "limbs": limbs, "device": str(jax.devices()[0])}
-
-    # ---- setup: one stack with every key the protocol needs (device keygen)
     _log("setup: building stack (device keygen)")
     t0 = time.time()
     stack = hi.build_stack(
@@ -95,7 +119,6 @@ def main():
     enc_key = stack.tc.encrypt_key(stack.pk, key)
     detail["setup_s"] = round(time.time() - t0, 1)
 
-    # ---- transcipher throughput, batch-amortized (ECG-shaped 128-len rows)
     rng = np.random.default_rng(0)
     cipher = pasta.Pasta(key, stack.ctx.t)
     nonce = 50_000  # far from any cached nonce
@@ -104,16 +127,19 @@ def main():
     for b_sz in (1, 16, 64):
         _log(f"transcipher throughput: B={b_sz} warmup")
         data = rng.integers(0, stack.ctx.t, (b_sz, transcipher.T), np.uint64)
-        # warmup/compile for this batch shape (fresh nonce so timed reps
-        # can't hit its caches)
         _, nonce = _time_decompose(stack, enc_key, cipher, data, nonce, 1)
         _log(f"transcipher throughput: B={b_sz} timing")
         dt, nonce = _time_decompose(stack, enc_key, cipher, data, nonce, reps)
         tput[b_sz] = b_sz / dt
     detail["samples_per_s_by_batch"] = {k: round(v, 3) for k, v in tput.items()}
     detail["tput_bench_s"] = round(time.time() - t0, 1)
+    detail["mxu_galois"] = bool(stack.tc.use_mxu_galois)
+    return stack, enc_key, cipher, tput, nonce
 
-    # single-block latency, sync per call (includes the tunnel round trip)
+
+def stage_block_sync(detail, stack, enc_key, reps):
+    from hhe_tpu.ops import pasta
+
     _log("single-block sync latency")
     mats_pt, rcs_pt = stack.tc.device_block_plaintexts(pasta.NONCE, 0)
     out = stack.tc._jit_keystream(enc_key.data, mats_pt, rcs_pt, stack.tc._keys())
@@ -124,18 +150,20 @@ def main():
         np.asarray(out[0, 0, :4])
     detail["block_ms_sync"] = round((time.time() - t0) / reps * 1e3, 2)
 
-    # ---- NTT butterflies/s/chip (production forward NTT, batch of polys)
+
+def stage_ntt(detail, stack, n, limbs):
+    """NTT butterflies/s/chip: chain K transforms inside one dispatch
+    (output feeds input so none can be elided), slope between K=4 and 20
+    cancels dispatch + tunnel-sync overhead."""
+    from hhe_tpu.ops import ntt
+
     _log("NTT microbench")
     import jax.numpy as jnp
 
+    rng = np.random.default_rng(7)
     X = 32
-    x = jnp.asarray(
-        rng.integers(0, 1 << 30, (X, limbs, n), np.int64).astype(np.uint32)
-    )
+    x = jnp.asarray(rng.integers(0, 1 << 30, (X, limbs, n), np.int64).astype(np.uint32))
 
-    # chain K transforms inside one dispatch (output feeds input, so XLA
-    # can't elide any), then slope between K=4 and K=20 cancels the fixed
-    # dispatch + tunnel-sync overhead
     def chain(k_iters):
         def body(_, v):
             return ntt.ntt_fwd(v, stack.ctx.tb_q)
@@ -158,70 +186,171 @@ def main():
     butterflies = X * limbs * (n // 2) * int(math.log2(n))
     detail["ntt_butterflies_per_s"] = round(butterflies / max(ntt_s, 1e-9), 0)
     detail["ntt_ms"] = round(ntt_s * 1e3, 3)
+    # measured streaming rate of the NTT (bytes in+out per transform pass):
+    stages = int(math.log2(n))
+    ntt_bytes = X * limbs * n * 4 * 2  # read+write per fused pass set
+    detail["ntt_gbps_effective"] = round(ntt_bytes * stages / ntt_s / 1e9, 1)
 
-    # ---- encrypted MNIST 2FC inferences/s (shipped QAT weights; timed work
-    # is the per-inference CSP pipeline: transcipher 7 blocks + flatten +
-    # fc1 ctxct + square + fc2; weight encryption is one-time analyst setup)
-    try:
-        from hhe_tpu.ops import helin
 
-        _log("MNIST 2FC")
-        stack.tc.clear_caches()  # free ~2 GB of ECG-phase round material
-        ctx = stack.ctx
-        w1 = pocketnn.read_csv_matrix(
-            "/root/reference/weights/mnist/qat/"
-            "quant_2fc_2bits_mnist_plain_2bits_weights_fc1.csv"
-        )
-        w2 = pocketnn.read_csv_matrix(
-            "/root/reference/weights/mnist/qat/"
-            "quant_2fc_2bits_mnist_plain_2bits_weights_fc2.csv"
-        )
-        x_img, y = loaders.load_mnist_test(limit=mnist_b)
-        samples = np.asarray(x_img, np.int64)
-        w1_cts = helin.encrypt_weight(ctx, stack.pk, np.asarray(w1, np.int64).T)
-        m_nonce = nonce + 1000
-        sym = cipher.encrypt(samples.astype(np.uint64), nonce=m_nonce)
+def stage_roofline(detail, stack):
+    """One paragraph of arithmetic turning 'fast' into 'X% of speed-of-
+    light': HBM bytes the keystream block MUST move vs the measured XLA
+    streaming rate (the key-switch contraction was measured at ~680 GB/s —
+    HBM peak for TPU v5e — see transcipher.py:500-505)."""
+    ctx = stack.ctx
+    tc = stack.tc
+    k, kd, n = ctx.k + 1, ctx.k, ctx.n
+    n1, n2 = tc.n1, tc.n2
+    T = 128
+    key_bytes_mm = 2 * (n1 - 1) * k * kd * n * 4 + 2 * (n2 - 1) * k * kd * n * 4
+    diag_bytes_mm = T * (ctx.k * n * 4) + T * (k * n * 4)
+    relin_bytes = 2 * k * kd * n * 4
+    # 4 matmuls + 3 relins (2 feistel + cube) + 2 cube multiplies (BEHZ
+    # streams ~6 base-converted copies of [2, k, N])
+    bytes_block = (
+        4 * (key_bytes_mm + diag_bytes_mm) + 3 * relin_bytes + 2 * 6 * 2 * k * n * 4
+    )
+    hbm_gbps = 680.0  # measured XLA streaming rate on this chip
+    sol_ms = bytes_block / (hbm_gbps * 1e9) * 1e3
+    detail["roofline"] = {
+        "bytes_per_block": bytes_block,
+        "hbm_gbps_measured": hbm_gbps,
+        "speed_of_light_ms": round(sol_ms, 1),
+        "block_ms_sync": detail.get("block_ms_sync"),
+        "pct_of_sol": (
+            round(100 * sol_ms / detail["block_ms_sync"], 1)
+            if detail.get("block_ms_sync")
+            else None
+        ),
+        "note": (
+            "bytes_per_block = key-switch key material (4 BSGS matmuls x "
+            f"{key_bytes_mm/1e6:.0f} MB baby+giant keys + {diag_bytes_mm/1e6:.0f} MB "
+            "diagonals) + 3 relins + BEHZ cube traffic, all of which must "
+            "stream from HBM once per block; speed_of_light_ms = that "
+            "volume at the measured 680 GB/s XLA streaming rate. The "
+            "remaining gap is gather/permute time not overlapped with "
+            "streaming plus per-op dispatch."
+        ),
+    }
+
+
+def stage_mnist(detail, stack, enc_key, cipher, nonce, mnist_b):
+    from hhe_tpu.models import loaders, pocketnn
+    from hhe_tpu.ops import helin
+    from hhe_tpu.workloads import hhe_inference as hi
+
+    _log("MNIST 2FC")
+    stack.tc.clear_caches()  # free ~2 GB of ECG-phase round material
+    ctx = stack.ctx
+    w1 = pocketnn.read_csv_matrix(
+        "/root/reference/weights/mnist/qat/"
+        "quant_2fc_2bits_mnist_plain_2bits_weights_fc1.csv"
+    )
+    w2 = pocketnn.read_csv_matrix(
+        "/root/reference/weights/mnist/qat/"
+        "quant_2fc_2bits_mnist_plain_2bits_weights_fc2.csv"
+    )
+    x_img, y = loaders.load_mnist_test(limit=mnist_b)
+    samples = np.asarray(x_img, np.int64)
+    w1_cts = helin.encrypt_weight(ctx, stack.pk, np.asarray(w1, np.int64).T)
+    m_nonce = nonce + 1000
+    sym = cipher.encrypt(samples.astype(np.uint64), nonce=m_nonce)
+    t0 = time.time()
+    data_ct = hi.csp_decompose(stack, enc_key, sym, nonce=m_nonce)
+    logits_ct = hi.csp_eval_2fc(
+        stack, data_ct, w1_cts, np.asarray(w2, np.int64), row_chunk=32
+    )
+    np.asarray(logits_ct.data[0][..., 0, :4])
+    mnist_s = time.time() - t0
+    # parity vs plaintext mod-t (outside the timed region)
+    logits = hi.decrypt_2fc_logits(stack, logits_ct)
+    t = ctx.t
+    v1 = (samples @ np.asarray(w1, np.int64)) % t
+    expect = ((v1 * v1) % t @ np.asarray(w2, np.int64)) % t
+    expect = np.where(expect > t // 2, expect - t, expect)
+    assert np.array_equal(logits.astype(np.int64), expect), "2FC parity"
+    detail["mnist_2fc_inferences_per_s"] = round(mnist_b / mnist_s, 4)
+    detail["mnist_2fc_batch"] = mnist_b
+    detail["mnist_2fc_parity"] = "ok"
+    detail["mnist_2fc_accuracy"] = float(
+        np.mean(logits.argmax(1) == np.asarray(y)[:mnist_b])
+    )
+
+
+def stage_large_preset(detail):
+    """One device keystream block at the large preset degree N=65536
+    (reference ``SEAL_Cipher.cpp:47-68``), reduced limb count — records the
+    first on-chip block time at that degree."""
+    from hhe_tpu.ops import bfv, pasta, transcipher
+
+    _log("large preset N=65536 keystream block")
+    n, limbs = 65536, int(os.environ.get("BENCH_LARGE_LIMBS", "8"))
+    ctx = bfv.Context(bfv.BFVParams(n=n, data_limbs=limbs, seed=1))
+    sk = ctx.keygen_secret()
+    rk, gks = ctx.keygen_eval_keys_device(
+        sk, transcipher.galois_elts(ctx, True), include_relin=True, seed=1
+    )
+    pk = ctx.keygen_public(sk)
+    tc = transcipher.Transcipher(ctx, rk, gks)
+    key = pasta.get_fixed_symmetric_key()
+    enc_key = tc.encrypt_key(pk, key)
+    mats_pt, rcs_pt = tc.device_block_plaintexts(pasta.NONCE, 0)
+    out = tc._jit_keystream(enc_key.data, mats_pt, rcs_pt, tc._keys())
+    np.asarray(out[0, 0, :4])  # compile + run
+    ts = []
+    for _ in range(2):
         t0 = time.time()
-        data_ct = hi.csp_decompose(stack, enc_key, sym, nonce=m_nonce)
-        logits_ct = hi.csp_eval_2fc(
-            stack, data_ct, w1_cts, np.asarray(w2, np.int64), row_chunk=32
-        )
-        np.asarray(logits_ct.data[0][..., 0, :4])
-        mnist_s = time.time() - t0
-        # parity vs plaintext mod-t (outside the timed region)
-        logits = hi.decrypt_2fc_logits(stack, logits_ct)
-        t = ctx.t
-        v1 = (samples @ np.asarray(w1, np.int64)) % t
-        expect = ((v1 * v1) % t @ np.asarray(w2, np.int64)) % t
-        expect = np.where(expect > t // 2, expect - t, expect)
-        assert np.array_equal(logits.astype(np.int64), expect), "2FC parity"
-        detail["mnist_2fc_inferences_per_s"] = round(mnist_b / mnist_s, 4)
-        detail["mnist_2fc_batch"] = mnist_b
-        detail["mnist_2fc_parity"] = "ok"
-        detail["mnist_2fc_accuracy"] = float(
-            np.mean(logits.argmax(1) == np.asarray(y)[:mnist_b])
-        )
-    except Exception as e:  # pragma: no cover - report, don't die
-        detail["mnist_2fc_error"] = f"{type(e).__name__}: {e}"[:200]
+        out = tc._jit_keystream(enc_key.data, mats_pt, rcs_pt, tc._keys())
+        np.asarray(out[0, 0, :4])
+        ts.append(time.time() - t0)
+    detail["large_preset"] = {
+        "n": n,
+        "limbs": limbs,
+        "block_ms_sync": round(min(ts) * 1e3, 1),
+        "mxu_galois": bool(tc.use_mxu_galois),
+    }
 
-    value = tput[64]
-    vs = value * BASELINE_BLOCK_S if BASELINE_BLOCK_S > 0 else 0.0
+
+def main():
+    n = int(os.environ.get("BENCH_N", "16384"))
+    limbs = {2048: 4, 4096: 4, 8192: 7, 16384: 13}.get(n, 13)
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+    mnist_b = int(os.environ.get("BENCH_MNIST_B", "2"))
+    detail = RESULT["detail"]
+    detail.update({"n": n, "limbs": limbs, "device": str(jax.devices()[0])})
+
+    # ---- headline: batch-amortized transcipher throughput (always runs)
+    stack, enc_key, cipher, tput, nonce = stage_throughput(detail, n, limbs, reps)
+    RESULT["value"] = round(tput[64], 4)
+    RESULT["vs_baseline"] = round(tput[64] * BASELINE_BLOCK_S, 3)
     detail["baseline_block_s"] = BASELINE_BLOCK_S
     detail["baseline_note"] = (
         "baseline = reference C++ sequential per-block CPU time; value = "
         "batch-amortized device throughput at B=64 (keystream reuse)"
     )
-    print(
-        json.dumps(
-            {
-                "metric": "pasta_bfv_transcipher_samples_per_s_batch64",
-                "value": round(value, 4),
-                "unit": "samples/s",
-                "vs_baseline": round(vs, 3),
-                "detail": detail,
-            }
-        )
-    )
+    _emit()  # headline lands on stdout before anything slow can time out
+
+    for name, fn, need_s in (
+        ("block_sync", lambda: stage_block_sync(detail, stack, enc_key, reps), 120),
+        ("ntt", lambda: stage_ntt(detail, stack, n, limbs), 120),
+        ("roofline", lambda: stage_roofline(detail, stack), 5),
+        (
+            "mnist_2fc",
+            lambda: stage_mnist(detail, stack, enc_key, cipher, nonce, mnist_b),
+            420,
+        ),
+        ("large_preset_65536", lambda: stage_large_preset(detail), 300),
+    ):
+        if _remaining() < need_s:
+            detail["skipped"].append(name)
+            _log(f"SKIP {name}: {_remaining():.0f}s left < {need_s}s needed")
+            _emit()
+            continue
+        try:
+            fn()
+        except Exception as e:  # pragma: no cover — record, don't die
+            detail[f"{name}_error"] = f"{type(e).__name__}: {e}"[:200]
+        _emit()
 
 
 if __name__ == "__main__":

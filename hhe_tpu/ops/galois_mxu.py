@@ -51,15 +51,22 @@ import jax
 import jax.numpy as jnp
 
 from . import bfv_eval
-from .ntt import bit_reverse_indices
 
 
 class PermSet(NamedTuple):
-    """J precompiled NTT-domain permutations ready for MXU application."""
+    """J precompiled NTT-domain permutations ready for MXU application.
 
-    a1: jnp.ndarray  # [J, 128] int32 — major-axis (row) source indices
-    e: jnp.ndarray  # [J, 128, 128, 128] int8 one-hot: e[j, p, s, q]
-    n: int  # polynomial degree (flat axis length)
+    A pure array pytree (passable straight through a jit boundary as an
+    argument — the transcipher ships it inside its key pytree).  Shapes for
+    degree n: ``a1`` [J, n/128] int32 major-axis (row) source indices,
+    ``e`` [J, n/128, 128, 128] int8 one-hot with e[j, p, s, q]."""
+
+    a1: jnp.ndarray
+    e: jnp.ndarray
+
+    def rows(self, sl) -> "PermSet":
+        """Sub-PermSet of a row slice (usable inside jit)."""
+        return PermSet(self.a1[sl], self.e[sl])
 
 
 def _factor_src(src: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -79,9 +86,12 @@ def _factor_src(src: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 def build_perms(ctx, elts: Sequence[int]) -> PermSet:
     """Precompute the MXU form of ``ntt_galois_src`` for each element.
 
-    Each permutation costs 2 MB of HBM (one-hot int8 [128,128,128]); the
-    transcipher's full set (31 babysteps + giantsteps) is ~70 MB, built
-    once per context and cached by the caller.
+    Each permutation costs n*128 bytes of HBM (one-hot int8
+    [n/128, 128, 128]): 2 MB at n=16384, 8 MB at n=65536 — the cost scales
+    linearly with the degree, so the transcipher's full set (32 babysteps +
+    3 giantsteps) is ~70 MB at the production degree but ~280 MB at the
+    large preset.  Built once per Transcipher and shipped via its key
+    pytree.
     """
     n = ctx.n
     if n % (128 * 128) != 0:
@@ -99,7 +109,6 @@ def build_perms(ctx, elts: Sequence[int]) -> PermSet:
     return PermSet(
         a1=jnp.asarray(np.stack(a1s).astype(np.int32)),
         e=jnp.asarray(np.stack(es)),
-        n=n,
     )
 
 
@@ -139,7 +148,7 @@ def _matmul_digits(xr: jnp.ndarray, e: jnp.ndarray) -> jnp.ndarray:
 def apply_broadcast(x: jnp.ndarray, ps: PermSet) -> jnp.ndarray:
     """All J permutations of ONE tensor: x [..., N] -> [J, ..., N] with
     out[j][..., s] = x[..., src_j[s]].  Bit-exact vs jnp.take."""
-    n = ps.n
+    n = x.shape[-1]
     batch = x.shape[:-1]
     r = int(np.prod(batch, dtype=np.int64)) if batch else 1
     xv = x.reshape(r, n // 128, 128)
@@ -152,7 +161,7 @@ def apply_broadcast(x: jnp.ndarray, ps: PermSet) -> jnp.ndarray:
 def apply_aligned(x: jnp.ndarray, ps: PermSet) -> jnp.ndarray:
     """Permutation j applied to slice j: x [J, ..., N] -> same shape with
     out[j][..., s] = x[j][..., src_j[s]]."""
-    n = ps.n
+    n = x.shape[-1]
     jdim = x.shape[0]
     batch = x.shape[1:-1]
     r = int(np.prod(batch, dtype=np.int64)) if batch else 1

@@ -78,12 +78,22 @@ class Transcipher:
         use_bsgs: bool = True,
         n1: int = BSGS_N1,
         n2: int = BSGS_N2,
+        use_mxu_galois: Optional[bool] = None,
     ):
         assert n1 * n2 == T, (n1, n2)
         self.ctx = ctx
         self.rk = rk
         self.gks_all = gks
         self.n1, self.n2 = n1, n2
+        # MXU one-hot-matmul Galois permutations (galois_mxu): replaces the
+        # hot-path NTT-domain gathers — the measured bottleneck (~2.7 Gelem/s
+        # serial gather vs idle MXU).  Auto: on for TPU backends at tileable
+        # degrees, off on CPU (where int8 matmuls are slower than takes).
+        if use_mxu_galois is None:
+            use_mxu_galois = (
+                jax.default_backend() == "tpu" and ctx.n % (128 * 128) == 0
+            )
+        self.use_mxu_galois = use_mxu_galois and ctx.n % (128 * 128) == 0
         self.g_neg1 = ctx.galois_elt_from_step(-1)
         self.g_cols = 2 * ctx.n - 1
         self.g_t = ctx.galois_elt_from_step(T) if ctx.n // 2 != T else None
@@ -196,6 +206,24 @@ class Transcipher:
         else:
             self.giant_k0 = self.giant_k1 = None
             self.giant_nsrc = self.giant_csrc = self.giant_csign = None
+        if self.use_mxu_galois:
+            from . import galois_mxu
+
+            # one PermSet covers the rot_f0 fan-out (row 0 = identity, g=1)
+            # AND — via rows(1:) — the aligned babystep result permutes
+            self.baby_ps = galois_mxu.build_perms(
+                ctx, [1] + [ctx.galois_elt_from_step(-j) for j in range(1, self.n1)]
+            )
+            self.giant_ps = (
+                galois_mxu.build_perms(
+                    ctx,
+                    [ctx.galois_elt_from_step(-k * self.n1) for k in range(1, self.n2)],
+                )
+                if self.n2 > 1
+                else None
+            )
+        else:
+            self.baby_ps = self.giant_ps = None
 
     # ------------------------------------------------------------------
     # Key encryption (reference encrypt_key_2 / pastahelper::encrypt_symmetric_key)
@@ -418,6 +446,7 @@ class Transcipher:
                     self.giant_csrc,
                     self.giant_csign,
                 ),
+                (self.baby_ps, self.giant_ps),  # MXU perms (None when off)
             )
         return base
 
@@ -474,6 +503,11 @@ class Transcipher:
         - **Lazy mod-down**: key-switch contributions accumulate over q ∪ P
           in NTT domain; one mod-down per giantstep group and one for the
           giantstep sum.
+        - **MXU permutation lowering** (``use_mxu_galois``, auto on TPU):
+          the remaining NTT-domain gathers (rot_f0 fan-out, babystep /
+          giantstep result permutes) run as one-hot int8 matmuls on the
+          128x128 systolic array (``galois_mxu``) — bit-identical, measured
+          5-8x faster than ``jnp.take`` at these shapes on TPU v5e.
         """
         ctx = self.ctx
         n1, n2 = self.n1, self.n2
@@ -481,6 +515,10 @@ class Transcipher:
         gk_t = keys[2]
         baby_k0, baby_k1, baby_srcs = keys[4]
         giant_k0, giant_k1, giant_nsrc, giant_csrc, giant_csign = keys[5]
+        baby_ps, giant_ps = keys[6] if len(keys) > 6 else (None, None)
+        use_mxu = self.use_mxu_galois and baby_ps is not None
+        if use_mxu:
+            from . import galois_mxu
         q, qi = ctx.tb_q.q, ctx.tb_q.qinv_neg
         qp, qpi = ctx.tb_qp.q, ctx.tb_qp.qinv_neg
         take_last = lambda x, s: jnp.take(x, s, axis=-1)  # noqa: E731
@@ -493,8 +531,13 @@ class Transcipher:
         fd = bfv_eval.hoist_digits(ctx, st.data[1])  # [kd, k+1, N] NTT(qP)
         fd_t = jnp.swapaxes(fd, -3, -2)  # moduli-major [k+1, kd, N]
 
-        # all n1 NTT-domain rotations of f0 at once (row 0 = identity)
-        rot_f0 = jax.vmap(take_last, (None, 0))(f0, baby_srcs)  # [n1, k, N]
+        # all n1 NTT-domain rotations of f0 at once (row 0 = identity).
+        # MXU mode lowers the permutations to one-hot int8 matmuls
+        # (galois_mxu) instead of serial gathers — bit-identical output.
+        if use_mxu:
+            rot_f0 = galois_mxu.apply_broadcast(f0, baby_ps)  # [n1, k, N]
+        else:
+            rot_f0 = jax.vmap(take_last, (None, 0))(f0, baby_srcs)  # [n1, k, N]
 
         # babystep key contractions in the unpermuted frame (keys stored
         # moduli-major [J, k+1, kd, N]).  Measured on TPU v5e: this XLA
@@ -516,8 +559,13 @@ class Transcipher:
             return t0, t1
 
         b0, b1 = contract(fd_t, baby_k0, baby_k1)  # [n1-1, k+1, N]
-        h0 = jax.vmap(take_last)(b0, baby_srcs[1:])
-        h1 = jax.vmap(take_last)(b1, baby_srcs[1:])
+        if use_mxu:
+            baby_tail = baby_ps.rows(slice(1, None))
+            h0 = galois_mxu.apply_aligned(b0, baby_tail)
+            h1 = galois_mxu.apply_aligned(b1, baby_tail)
+        else:
+            h0 = jax.vmap(take_last)(b0, baby_srcs[1:])
+            h1 = jax.vmap(take_last)(b1, baby_srcs[1:])
 
         dq = mats_q.reshape(n2, n1, ctx.k, ctx.n)
         dqp = mats_qp.reshape(n2, n1, ctx.k + 1, ctx.n)
@@ -559,8 +607,12 @@ class Transcipher:
         g0, g1 = contract(
             jnp.swapaxes(fdg, -3, -2), giant_k0, giant_k1
         )  # [n2-1, k+1, N]
-        hg0 = jax.vmap(take_last)(g0, giant_nsrc)
-        hg1 = jax.vmap(take_last)(g1, giant_nsrc)
+        if use_mxu and giant_ps is not None:
+            hg0 = galois_mxu.apply_aligned(g0, giant_ps)
+            hg1 = galois_mxu.apply_aligned(g1, giant_ps)
+        else:
+            hg0 = jax.vmap(take_last)(g0, giant_nsrc)
+            hg1 = jax.vmap(take_last)(g1, giant_nsrc)
         accp0, accp1 = hg0[0], hg1[0]
         for g in range(1, n2 - 1):
             accp0 = add_mod(accp0, hg0[g], qp)

@@ -33,16 +33,31 @@ from ..models import pocketnn
 
 if TORCH:
 
+    def _quantize_int(w: "torch.Tensor", bits: int):
+        """Integer weights + positive scalar scale for a float tensor.
+
+        2-bit uses TWN-style threshold ternarization (delta = 0.7 mean|w|,
+        alpha = mean |w| over the survivors) — a max-based scale at ternary
+        levels zeroes ~95% of a Gaussian-init weight tensor and caps the
+        trained model near chance.  Higher bit widths use symmetric
+        max-scaled rounding (the reference's brevitas Int8/4 behavior)."""
+        if bits == 2:
+            delta = 0.7 * w.abs().mean()
+            mask = (w.abs() > delta).to(w.dtype)
+            w_int = torch.sign(w) * mask
+            alpha = (w.abs() * mask).sum() / mask.sum().clamp(min=1)
+            return w_int, alpha.clamp(min=1e-8)
+        qmax = 2 ** (bits - 1) - 1
+        alpha = w.abs().max().clamp(min=1e-8) / qmax
+        return torch.clamp(torch.round(w / alpha), -qmax, qmax), alpha
+
     class _FakeQuant(torch.autograd.Function):
         """Symmetric per-tensor weight quantizer with STE backward."""
 
         @staticmethod
         def forward(ctx, w, bits):
-            qmax = 2 ** (bits - 1) - 1
-            scale = w.abs().max().clamp(min=1e-8) / qmax
-            w_int = torch.clamp(torch.round(w / scale), -qmax, qmax)
-            ctx.save_for_backward(torch.tensor(0.0))
-            return w_int * scale
+            w_int, alpha = _quantize_int(w, bits)
+            return w_int * alpha
 
         @staticmethod
         def backward(ctx, g):
@@ -51,7 +66,7 @@ if TORCH:
     class QuantLinear(nn.Module):
         def __init__(self, in_f, out_f, bits=2):
             super().__init__()
-            self.weight = nn.Parameter(torch.randn(in_f, out_f) * 0.05)
+            self.weight = nn.Parameter(torch.randn(in_f, out_f) / in_f**0.5)
             self.bits = bits
 
         def forward(self, x):
@@ -59,16 +74,15 @@ if TORCH:
 
         def int_weight(self) -> np.ndarray:
             with torch.no_grad():
-                qmax = 2 ** (self.bits - 1) - 1
-                scale = self.weight.abs().max().clamp(min=1e-8) / qmax
-                return (
-                    torch.clamp(torch.round(self.weight / scale), -qmax, qmax)
-                    .numpy()
-                    .astype(np.int64)
-                )
+                return _quantize_int(self.weight, self.bits)[0].numpy().astype(np.int64)
 
     class Quant2FCSquare(nn.Module):
-        """784 -> hidden -> square -> 10 (reference quant_2fc_* models)."""
+        """784 -> hidden -> square -> 10 (reference quant_2fc_* models).
+
+        Training inserts *scalar* activation/logit normalizations — positive
+        per-tensor scalars leave the integer forward's argmax unchanged
+        (argmax((a v)^2 @ W2 * b) = argmax(v^2 @ W2)), so the deployed
+        integer model is exactly the quantized weights with no scales."""
 
         def __init__(self, in_dim=784, hidden=128, n_classes=10, bits=2):
             super().__init__()
@@ -77,7 +91,9 @@ if TORCH:
 
         def forward(self, x):
             h = self.fc1(x)
-            return self.fc2(h * h)  # SquareAct
+            h = h / h.detach().pow(2).mean().sqrt().clamp(min=1e-8)
+            out = self.fc2(h * h)  # SquareAct
+            return out / out.detach().std().clamp(min=1e-8)
 
 
 @dataclasses.dataclass
@@ -95,8 +111,8 @@ def train_quant_2fc(
     y_test: np.ndarray,
     hidden: int = 128,
     bits: int = 2,
-    epochs: int = 5,
-    lr: float = 1e-3,
+    epochs: int = 10,
+    lr: float = 3e-3,
     batch: int = 64,
     seed: int = 0,
     export_prefix: Optional[str] = None,
@@ -115,8 +131,7 @@ def train_quant_2fc(
         for i in range(0, n, batch):
             sel = perm[i : i + batch]
             opt.zero_grad()
-            out = model(xt[sel])
-            loss = lossf(out / out.abs().max().clamp(min=1e-8), yt[sel])
+            loss = lossf(model(xt[sel]), yt[sel])
             loss.backward()
             opt.step()
 
@@ -144,8 +159,9 @@ if TORCH:
 
         def __init__(self, in_ch, out_ch, ksize=5, stride=2, bits=2):
             super().__init__()
+            fan_in = in_ch * ksize * ksize
             self.weight = nn.Parameter(
-                torch.randn(out_ch, in_ch, ksize, ksize) * 0.1
+                torch.randn(out_ch, in_ch, ksize, ksize) / fan_in**0.5
             )
             self.stride = stride
             self.bits = bits
@@ -156,18 +172,13 @@ if TORCH:
 
         def int_weight(self) -> np.ndarray:
             with torch.no_grad():
-                qmax = 2 ** (self.bits - 1) - 1
-                scale = self.weight.abs().max().clamp(min=1e-8) / qmax
-                return (
-                    torch.clamp(torch.round(self.weight / scale), -qmax, qmax)
-                    .numpy()
-                    .astype(np.int64)
-                )
+                return _quantize_int(self.weight, self.bits)[0].numpy().astype(np.int64)
 
     class QuantHCNN(nn.Module):
         """conv(1->c1,5,s2) -> square -> conv(c1->c2,5,s2) -> flatten ->
         square -> fc (the reference MNISTConvQuantModel,
-        ``qat/notebooks/mnist_conv_train.ipynb``)."""
+        ``qat/notebooks/mnist_conv_train.ipynb``).  Scalar activation
+        normalizations as in Quant2FCSquare (argmax-invariant)."""
 
         def __init__(self, c1=5, c2=50, n_classes=10, bits=2, img=28):
             super().__init__()
@@ -177,13 +188,17 @@ if TORCH:
             o2 = (o1 - 5) // 2 + 1
             self.fc1 = QuantLinear(c2 * o2 * o2, n_classes, bits)
 
+        def _norm(self, v):
+            return v / v.detach().pow(2).mean().sqrt().clamp(min=1e-8)
+
         def forward(self, x):
-            out = self.conv1(x)
+            out = self._norm(self.conv1(x))
             out = out * out
-            out = self.conv2(out)
+            out = self._norm(self.conv2(out))
             out = out.reshape(out.shape[0], -1)
             out = out * out
-            return self.fc1(out)
+            out = self.fc1(out)
+            return out / out.detach().std().clamp(min=1e-8)
 
 
 @dataclasses.dataclass
@@ -227,8 +242,7 @@ def train_quant_hcnn(
         for i in range(0, n, batch):
             sel = perm[i : i + batch]
             opt.zero_grad()
-            out = model(xt[sel])
-            loss = lossf(out / out.abs().max().clamp(min=1e-8), yt[sel])
+            loss = lossf(model(xt[sel]), yt[sel])
             loss.backward()
             opt.step()
 

@@ -47,6 +47,32 @@ def test_broadcast_matches_take(ctx):
         assert np.array_equal(got[j], want), f"elt {g}"
 
 
+def test_bsgs_matmul_mxu_bitexact(ctx):
+    """The wired hot path: Transcipher._matmul_bsgs with the MXU permutation
+    lowering forced ON is bit-identical to the jnp.take lowering."""
+    from hhe_tpu.ops import pasta, transcipher
+
+    sk = ctx.keygen_secret()
+    pk = ctx.keygen_public(sk)
+    n1, n2 = 8, 16  # small babystep set keeps the CPU graph cheap
+    rk = ctx.keygen_relin(sk)
+    gks = ctx.keygen_galois(sk, transcipher.galois_elts(ctx, True, n1, n2))
+    tc_take = transcipher.Transcipher(
+        ctx, rk, gks, n1=n1, n2=n2, use_mxu_galois=False
+    )
+    tc_mxu = transcipher.Transcipher(
+        ctx, rk, gks, n1=n1, n2=n2, use_mxu_galois=True
+    )
+    assert tc_mxu.use_mxu_galois and tc_mxu.baby_ps is not None
+    key = pasta.get_fixed_symmetric_key()
+    enc_key = tc_take.encrypt_key(pk, key)
+    mats, _rcs = tc_take.block_plaintexts(pasta.NONCE, 0)
+    st = bfv.Ciphertext(enc_key.data)
+    out_take = tc_take._matmul(st, tc_take.round_mats(mats, 0), tc_take._keys())
+    out_mxu = tc_mxu._matmul(st, tc_mxu.round_mats(mats, 0), tc_mxu._keys())
+    assert np.array_equal(np.asarray(out_take.data), np.asarray(out_mxu.data))
+
+
 def test_aligned_matches_take(ctx):
     elts = _elts(ctx)
     ps = galois_mxu.build_perms(ctx, elts)

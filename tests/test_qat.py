@@ -18,10 +18,28 @@ def test_train_quant_2fc_and_export(tmp_path):
         export_prefix=str(tmp_path / "quant_2fc_2bits_test"),
     )
     assert res.w1_int.min() >= -1 and res.w1_int.max() <= 1  # 2-bit ternary
-    assert res.int_acc > 0.5, (res.int_acc, res.float_acc)
+    assert res.int_acc > 0.7, (res.int_acc, res.float_acc)
     w1 = pk.read_csv_matrix(tmp_path / "quant_2fc_2bits_test_fc1.csv")
     assert w1.shape == (784, 64)
     assert np.array_equal(w1, res.w1_int)
+
+
+@pytest.mark.slow
+def test_train_quant_2fc_reference_scale():
+    """Reference-scale QAT from scratch: >=80% integer accuracy — the bar
+    the shipped reference weights meet (see test below).
+
+    Scale note: the reference trains on the 60k MNIST train split fetched
+    by torchvision (``qat/src/mnist.py:20-32``); this environment has zero
+    egress and the reference repo ships only the test split (no
+    ``train-images-idx3-ubyte`` under ``data/mnist/MNIST/raw``), so
+    reference scale here = the full shipped corpus: train on 9k of the
+    10k test images, evaluate on the held-out 1k."""
+    x, y = loaders.load_mnist_test()  # full shipped corpus
+    res = qat.train_quant_2fc(
+        x[:9000], y[:9000], x[9000:], y[9000:], hidden=128, epochs=10, seed=0
+    )
+    assert res.int_acc >= 0.8, (res.int_acc, res.float_acc)
 
 
 def test_shipped_qat_weights_integer_accuracy():

@@ -13,6 +13,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax
+
+from hhe_tpu.utils import cache as _cache
+
+_cache.enable()
 import jax.numpy as jnp
 
 from hhe_tpu.ops import bfv, bfv_eval, galois_mxu

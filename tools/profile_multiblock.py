@@ -11,6 +11,10 @@ import time
 
 import numpy as np
 import jax
+
+from hhe_tpu.utils import cache as _cache
+
+_cache.enable()
 import jax.numpy as jnp
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
