@@ -443,3 +443,56 @@ def save_csv_matrix(path, mat: np.ndarray):
     with open(path, "w") as f:
         for row in np.atleast_2d(mat):
             f.write(",".join(str(int(v)) for v in row) + ",\n")
+
+
+# ---------------------------------------------------------------------------
+# Integer convolution (reference pktmat3d conv scaffolding,
+# libs/pocketnn/.../pktnn_mat3d — 3D int matrices + valid-window products;
+# never used by a reference workload, provided for completeness)
+# ---------------------------------------------------------------------------
+
+
+class ConvSpec(NamedTuple):
+    """Integer conv layer: kernel [out_ch, in_ch, k, k], valid padding."""
+
+    in_ch: int
+    out_ch: int
+    ksize: int
+    stride: int = 1
+    actv: str = "as_is"
+
+
+def conv_init(key, spec: ConvSpec, bound: int = 2) -> jnp.ndarray:
+    """Small random integer kernels in [-bound, bound] (the reference's conv
+    weights come from QAT CSVs; this is the training-scaffold init)."""
+    return jax.random.randint(
+        key,
+        (spec.out_ch, spec.in_ch, spec.ksize, spec.ksize),
+        -bound,
+        bound + 1,
+        jnp.int32,
+    )
+
+
+def conv2d_int_jax(x: jnp.ndarray, kernel: jnp.ndarray, stride: int) -> jnp.ndarray:
+    """Exact int32 valid conv on device: x [B, Ci, H, W], kernel
+    [Co, Ci, Kh, Kw] -> [B, Co, OH, OW].  Lowered via lax.conv_general_dilated
+    with an int32 accumulator so XLA tiles it onto the MXU (integer matmul
+    units) instead of a scalar loop — the TPU-native form of the reference's
+    per-window tensordot (pktnn_mat3d)."""
+    return jax.lax.conv_general_dilated(
+        x.astype(jnp.int32),
+        kernel.astype(jnp.int32),
+        window_strides=(stride, stride),
+        padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        preferred_element_type=jnp.int32,
+    )
+
+
+def conv_forward(kernel: jnp.ndarray, x: jnp.ndarray, spec: ConvSpec):
+    """actv(conv(x, kernel)) with the PocketNN activation table; returns
+    (out, grad_inv) like fc_forward."""
+    inter = conv2d_int_jax(x, kernel, spec.stride)
+    fan_in = spec.in_ch * spec.ksize * spec.ksize
+    return ACTIVATIONS[spec.actv](inter, K_BIT, fan_in)

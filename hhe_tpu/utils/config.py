@@ -72,12 +72,22 @@ class TrainConfig:
 
 @dataclasses.dataclass(frozen=True)
 class RunConfig:
-    """Runtime switches (reference ``configs/config.cpp:9-12``)."""
+    """Runtime switches (reference ``configs/config.cpp:9-12``).
+
+    ``dry_run`` caps dataset-scale runs at ``dry_run_num_samples`` (the
+    reference slices its 13k-sample loops, ``hhe_pktnn_examples.cpp:188-207``);
+    ``debugging`` enables per-stage noise-budget telemetry (the reference's
+    debug path prints noise inside the transcipher rounds,
+    ``pasta_3_seal.cpp:73``); ``verbose`` gates party logs."""
 
     debugging: bool = False
     verbose: bool = False
     dry_run: bool = True
     dry_run_num_samples: int = 2
+
+    def sample_limit(self, n: int) -> int:
+        """Number of samples a dataset-scale run should process."""
+        return min(n, self.dry_run_num_samples) if self.dry_run else n
 
 
 @dataclasses.dataclass(frozen=True)

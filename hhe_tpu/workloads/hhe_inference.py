@@ -32,7 +32,26 @@ from ..models import pocketnn
 from ..ops import bfv, bfv_eval, helin, pasta, transcipher
 from ..ops.bfv import BFVParams, Ciphertext, Context
 from ..utils import checks
-from ..utils.config import Config
+from ..utils.config import Config, RunConfig
+
+
+def _apply_run(samples, labels, run: Optional[RunConfig]):
+    """Reference dry_run semantics (``configs/config.cpp:11-12``): cap the
+    sample count; debugging handled at the call sites."""
+    if run is None:
+        return samples, labels
+    lim = run.sample_limit(len(samples))
+    return samples[:lim], (None if labels is None else np.asarray(labels).reshape(-1)[:lim])
+
+
+def _debug_noise(stack: "HHEStack", ct: Ciphertext, tag: str, run: Optional[RunConfig]):
+    """Per-stage noise telemetry when run.debugging (reference
+    ``pasta_3_seal.cpp:73`` print_noise in the debug path)."""
+    if run is None or not run.debugging:
+        return
+    first = _split_batch(ct)[0]
+    print(f"[debug] noise budget after {tag}: "
+          f"{stack.ctx.noise_budget(stack.sk, first)} bits", flush=True)
 
 
 @dataclasses.dataclass
@@ -186,6 +205,7 @@ def hhe_1fc_inference(
     weight: np.ndarray,
     samples: np.ndarray,
     check_parity: bool = True,
+    run: Optional[RunConfig] = None,
 ) -> Dict[str, np.ndarray]:
     """Full SpO2-style pipeline on a batch: PASTA encrypt -> transcipher ->
     mask/flatten -> encrypted FC + sum -> decrypt slot -> int_sigmoid.
@@ -196,6 +216,7 @@ def hhe_1fc_inference(
     ctx = stack.ctx
     w = np.asarray(weight, np.int64).reshape(-1)
     samples = np.atleast_2d(np.asarray(samples, np.uint64))
+    samples, _ = _apply_run(samples, None, run)
     B, L = samples.shape
     assert w.shape == (L,)
 
@@ -210,10 +231,12 @@ def hhe_1fc_inference(
 
     # CSP: transcipher + evaluate
     data_ct = csp_decompose(stack, enc_key, sym)
+    _debug_noise(stack, data_ct, "decomposition+flatten", run)
     wct = Ciphertext(
         weight_ct.data[:, None] if np.asarray(data_ct.data).ndim == 4 else weight_ct.data
     )
     result = csp_eval_1fc(stack, data_ct, wct, do_sum=True)
+    _debug_noise(stack, result, "encrypted FC + vec_sum", run)
 
     # Analyst: decrypt
     raw, preds = analyst_decrypt_slot_sigmoid(stack, result, L)
@@ -337,6 +360,7 @@ def hhe_2fc_inference(
     via_transcipher: bool = True,
     check_parity: bool = True,
     row_chunk: Optional[int] = None,
+    run: Optional[RunConfig] = None,
 ) -> Dict[str, np.ndarray]:
     """MNIST/FMNIST-style 784 -> R -> 10 encrypted inference with square
     activation (reference hhe_pktnn_2fc_inference, hhe_pktnn_examples.cpp:713-
@@ -349,6 +373,7 @@ def hhe_2fc_inference(
     w1 = np.asarray(w1, np.int64)
     w2 = np.asarray(w2, np.int64)
     samples = np.atleast_2d(np.asarray(samples, np.int64))
+    samples, labels = _apply_run(samples, labels, run)
     B, L = samples.shape
     in_dim, R = w1.shape
 
@@ -366,7 +391,9 @@ def hhe_2fc_inference(
         )
         data_ct = Ciphertext(jnp.asarray(data))  # [2, B, k, N]
 
+    _debug_noise(stack, data_ct, "decomposition+flatten", run)
     logits_ct = csp_eval_2fc(stack, data_ct, w1_cts, w2, row_chunk=row_chunk)
+    _debug_noise(stack, logits_ct, "2FC eval", run)
     logits = decrypt_2fc_logits(stack, logits_ct)
     preds = logits.argmax(1)
 
@@ -389,11 +416,13 @@ def hhe_ecg_inference(
     weight: np.ndarray,
     samples: np.ndarray,
     labels: Optional[np.ndarray] = None,
+    run: Optional[RunConfig] = None,
 ) -> Dict[str, np.ndarray]:
     """ECG pipeline (128-length, single block, host-side sum+sigmoid)."""
     ctx = stack.ctx
     w = np.asarray(weight, np.int64).reshape(-1)
     samples = np.atleast_2d(np.asarray(samples, np.uint64))
+    samples, labels = _apply_run(samples, labels, run)
     B, L = samples.shape
     assert L == transcipher.T and w.shape == (L,)
 
@@ -403,12 +432,14 @@ def hhe_ecg_inference(
     weight_ct = helin.encrypt_weight(ctx, stack.pk, w[None, :])[0]
 
     data_ct = csp_decompose(stack, enc_key, sym)
+    _debug_noise(stack, data_ct, "decomposition", run)
     wct = Ciphertext(
         weight_ct.data[:, None] if np.asarray(data_ct.data).ndim == 4 else weight_ct.data
     )
     prod = bfv_eval.relinearize(
         ctx, bfv_eval.multiply(ctx, data_ct, wct), stack.rk
     )
+    _debug_noise(stack, prod, "encrypted weight product", run)
     preds = analyst_decrypt_sum_sigmoid(stack, prod, L)
     out = {"predictions": preds}
     if labels is not None:

@@ -19,6 +19,16 @@ import jax
 import jax.numpy as jnp
 
 from ..models import pocketnn as pk
+from ..utils.config import RunConfig
+
+
+def _limit(run: Optional[RunConfig], *arrays):
+    """Reference dry_run semantics: cap the training-set size at
+    run.dry_run_num_samples (``configs/config.cpp:11-12``)."""
+    if run is None:
+        return arrays
+    lim = run.sample_limit(len(arrays[0]))
+    return tuple(a[:lim] for a in arrays)
 
 
 @dataclasses.dataclass
@@ -122,12 +132,14 @@ def train_spo2_one_layer(
     lr_inv: int = 50,
     seed: int = 0,
     save_best_path: Optional[str] = None,
+    run: Optional[RunConfig] = None,
 ) -> TrainResult:
     """300 -> 1 pocket_sigmoid DFA training (reference
     fc_int_dfa_spo2_one_layer: labels x128, minibatch 4, lr halves every 10
     epochs, epoch-best weights saved)."""
     if test_data is None:
         test_data, test_labels = data, labels
+    data, labels = _limit(run, data, np.asarray(labels).reshape(-1))
     labels01 = np.asarray(labels).reshape(-1)
     y = (labels01 * 128).reshape(-1, 1)
     specs = [pk.FCSpec(data.shape[1], 1, "pocket_sigmoid")]
@@ -155,8 +167,10 @@ def train_ecg_one_layer(
     mini_batch: int = 4,
     lr_inv: int = 50,
     seed: int = 0,
+    run: Optional[RunConfig] = None,
 ) -> TrainResult:
     """128 -> 1 pocket_sigmoid DFA (reference fc_int_dfa_ecg_one_layer)."""
+    data, labels = _limit(run, data, np.asarray(labels).reshape(-1))
     labels01 = np.asarray(labels).reshape(-1)
     y = (labels01 * 128).reshape(-1, 1)
     specs = [pk.FCSpec(data.shape[1], 1, "pocket_sigmoid")]
@@ -177,6 +191,7 @@ def train_spo2_square(
     lr_inv: int = 50,
     seed: int = 0,
     save_best_path: Optional[str] = None,
+    run: Optional[RunConfig] = None,
 ) -> TrainResult:
     """SpO2 2FC square net: 300 -> 128 pocket_tanh -> 1 square, DFA training
     with lr halving every 10 epochs and epoch-best per-layer checkpoints
@@ -184,6 +199,7 @@ def train_spo2_square(
     via the generic ``train()`` helper :1071-1203)."""
     if test_data is None:
         test_data, test_labels = data, labels
+    data, labels = _limit(run, data, np.asarray(labels).reshape(-1))
     labels01 = np.asarray(labels).reshape(-1)
     y = (labels01 * 128).reshape(-1, 1)
     specs = [
@@ -216,6 +232,7 @@ def train_mnist_one_layer(
     mini_batch: int = 20,
     lr_inv: int = 1000,
     seed: int = 0,
+    run: Optional[RunConfig] = None,
 ) -> TrainResult:
     """Single-FC 784 -> 10 pocket_tanh DFA training (reference
     ``fc_int_dfa_mnist_one_layer``, pktnn_examples.cpp:334-568)."""
@@ -229,6 +246,7 @@ def train_mnist_one_layer(
         mini_batch=mini_batch,
         lr_inv=lr_inv,
         seed=seed,
+        run=run,
     )
 
 
@@ -242,9 +260,11 @@ def train_mnist_dfa(
     mini_batch: int = 20,
     lr_inv: int = 1000,
     seed: int = 0,
+    run: Optional[RunConfig] = None,
 ) -> TrainResult:
     """3-layer pocket_tanh DFA training (reference fc_int_dfa_mnist:
     one-hot targets x UNSIGNED_4BIT_MAX=15, minibatch 20, lrInv 1000)."""
+    x_train, labels_train = _limit(run, x_train, np.asarray(labels_train).reshape(-1))
     n_classes = dims[-1]
     y = np.zeros((len(labels_train), n_classes), np.int32)
     y[np.arange(len(labels_train)), labels_train] = pk.UNSIGNED_4BIT_MAX

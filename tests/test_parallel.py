@@ -1,6 +1,8 @@
 """Mesh-sharded evaluation on the 8-device virtual CPU mesh: sharded results
 must equal unsharded results exactly (integer arithmetic — bit-exact)."""
 
+import os
+
 import numpy as np
 import pytest
 import jax
@@ -142,3 +144,42 @@ def test_sharded_ntt_poly_axis():
             ]
         )
         assert np.array_equal(got, want)
+
+
+def test_two_process_distributed_smoke():
+    """parallel.init_distributed executed for real: two OS processes form a
+    4-device global CPU mesh via jax.distributed, run one cross-process psum
+    and one batch-sharded multiply_plain each (tests/distributed_worker.py).
+    This is the multi-host bootstrap path the CSP pod would use across hosts
+    (DCN); single-process virtual-mesh tests cannot reach it."""
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    worker = os.path.join(os.path.dirname(__file__), "distributed_worker.py")
+    env = {k: v for k, v in os.environ.items() if k not in ("XLA_FLAGS",)}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(pid), "2", str(port)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+            env=env,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=240)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out[-2000:]}"
+        assert f"worker {pid} OK" in out

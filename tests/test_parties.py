@@ -56,6 +56,26 @@ def test_three_party_protocol(tmp_path):
         assert np.array_equal(
             np.asarray(analyst.predictions), (expect_raw > 0).astype(int)
         )
+
+        # evaluateModel via CiphertextBytes push (reference CSPRPC.cpp:227-275
+        # / deserializeCiphertexts CSP.cpp:552-605): the caller streams the
+        # size-prefix-framed decomposition ciphertexts itself, split across
+        # MULTIPLE repeated HHEDecomp entries, routed by analyst UUID.
+        from hhe_tpu.utils import serial
+
+        cts = serial.load_ciphertext_vec((tmp_path / fname).read_bytes())
+        assert len(cts) == 2  # one per submitted record
+        analyst.raw_results.clear()
+        analyst.predictions.clear()
+        aserver.results_ready.clear()
+        msg = pb.CiphertextBytes(analystID=analyst.uuid)
+        for ct in cts:  # one frame per repeated entry — multi-record payload
+            msg.HHEDecomp.append(serial.dump_ciphertext_vec([ct]))
+        client = rpc.csp_client(CSP_ADDR)
+        client.call("evaluateModel", msg)
+        client.close()
+        assert aserver.results_ready.wait(timeout=300)
+        assert np.array_equal(np.asarray(analyst.raw_results), expect_raw)
     finally:
         aserver.stop()
         cserver.stop()

@@ -1,6 +1,7 @@
 """Integer NN (PocketNN-equivalent) semantics tests."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from hhe_tpu.models import pocketnn as pk
@@ -199,3 +200,29 @@ def test_floor_isqrt():
     import math
 
     assert got == [math.isqrt(int(v)) for v in np.asarray(x)]
+
+
+def test_conv2d_int_jax_matches_host_reference():
+    """pktmat3d-equivalent integer conv: the device lowering is exact vs the
+    host per-window tensordot (ops.heconv.conv2d_int)."""
+    from hhe_tpu.ops import heconv
+
+    rng = np.random.default_rng(0)
+    x = rng.integers(-8, 9, (3, 13, 11))
+    k = rng.integers(-4, 5, (5, 3, 3, 3))
+    for stride in (1, 2):
+        want = heconv.conv2d_int(x, k, stride)
+        got = np.asarray(pk.conv2d_int_jax(jnp.asarray(x[None]), jnp.asarray(k), stride))[0]
+        assert np.array_equal(got, want), stride
+
+
+def test_conv_forward_square_activation():
+    rng = np.random.default_rng(1)
+    spec = pk.ConvSpec(in_ch=1, out_ch=2, ksize=5, stride=2, actv="square")
+    kern = pk.conv_init(jax.random.PRNGKey(0), spec)
+    x = jnp.asarray(rng.integers(0, 4, (2, 1, 28, 28)), jnp.int32)
+    out, gi = pk.conv_forward(kern, x, spec)
+    raw = pk.conv2d_int_jax(x, kern, 2)
+    want, _ = pk.square(raw, pk.K_BIT, 25)
+    assert np.array_equal(np.asarray(out), np.asarray(want))
+    assert out.shape == (2, 2, 12, 12)

@@ -74,3 +74,39 @@ def test_hhe_ecg_inference(stack300):
     sums = (x.astype(np.int64) * w).sum(1)
     expect = [128 if int(pk.simple_pocket_sigmoid(int(s))) > 64 else 0 for s in sums]
     assert out["predictions"].tolist() == expect
+
+
+def test_run_config_dry_run_and_debugging(stack300, capsys):
+    """RunConfig wiring (reference configs/config.cpp:9-12): dry_run caps the
+    processed sample count at dry_run_num_samples; debugging prints per-stage
+    noise-budget telemetry (reference debug path pasta_3_seal.cpp:73)."""
+    from hhe_tpu.utils.config import RunConfig
+
+    rng = np.random.default_rng(5)
+    w = rng.integers(-2, 3, 128)
+    x = rng.integers(0, 64, (5, 128))
+    run = RunConfig(dry_run=True, dry_run_num_samples=2, debugging=True)
+    out = wk.hhe_ecg_inference(stack300, w, x, run=run)
+    assert len(out["predictions"]) == 2  # capped by dry_run
+    logs = capsys.readouterr().out
+    assert "noise budget after decomposition" in logs
+    assert "noise budget after encrypted weight product" in logs
+
+    # dry_run off: full batch, no telemetry
+    run = RunConfig(dry_run=False, debugging=False)
+    out = wk.hhe_ecg_inference(stack300, w, x, run=run)
+    assert len(out["predictions"]) == 5
+    assert "noise budget" not in capsys.readouterr().out
+
+
+def test_run_config_limits_training():
+    from hhe_tpu.utils.config import RunConfig
+    from hhe_tpu.workloads import training as tr
+
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, 4, (40, 16))
+    y = rng.integers(0, 2, 40)
+    run = RunConfig(dry_run=True, dry_run_num_samples=8)
+    res = tr.train_ecg_one_layer(x, y, epochs=1, mini_batch=4, run=run)
+    # 8 samples / minibatch 4 => exactly 2 minibatches contributed to loss
+    assert len(res.history) == 1
