@@ -84,18 +84,20 @@ def test_three_party_protocol(tmp_path):
 def test_two_analysts_long_input_over_wire(tmp_path):
     """The reference's whole multi-tenant story (CSPRPC.cpp:316-327) plus the
     300-length mask+flatten decompose path (CSP.cpp:260-283) exercised over
-    real gRPC: one CSP serves TWO analysts with different models; a user
-    submits 300-length records to each; each analyst gets its own correct
-    result."""
+    real gRPC: one CSP serves TWO analysts with different models AND
+    different input lengths (300 = 3-block mask+flatten; 128 = single
+    block); a user submits records to each; each analyst gets its own
+    correct result."""
     rng = np.random.default_rng(11)
-    L = 300
-    x = rng.integers(0, 16, (1, L))
+    lens = (300, 128)  # per-analyst submission lengths
 
     csp = CSP(PARAMS, workdir=str(tmp_path))
     cserver = CSPServer(csp, "localhost:50962")
-    analysts, aservers, ws = [], [], []
+    analysts, aservers, ws, xs = [], [], [], []
     try:
         for i, addr in enumerate(("localhost:50963", "localhost:50964")):
+            L = lens[i]
+            xs.append(rng.integers(0, 16, (1, L)))
             w = rng.integers(-3, 4, (L, 1))
             ws.append(w)
             a = Analyst(
@@ -115,10 +117,10 @@ def test_two_analysts_long_input_over_wire(tmp_path):
         checks.are_same_he_sk(analysts[1].sk, csp.sk)
 
         for i, addr in enumerate(("localhost:50963", "localhost:50964")):
-            user = User(PARAMS, data=x)
+            user = User(PARAMS, data=xs[i])
             user.submit(addr, "localhost:50962", f"p{i}")
             # CSP recorded the true submission length (no hard-coded 300)
-            assert csp.state(addr).input_len == L
+            assert csp.state(addr).input_len == lens[i]
 
             client = rpc.csp_client("localhost:50962")
             client.call(
@@ -129,7 +131,7 @@ def test_two_analysts_long_input_over_wire(tmp_path):
             assert aservers[i].results_ready.wait(timeout=300)
 
         for i in range(2):
-            expect = x.astype(np.int64) @ ws[i].reshape(-1)
+            expect = xs[i].astype(np.int64) @ ws[i].reshape(-1)
             assert np.array_equal(np.asarray(analysts[i].raw_results), expect), i
     finally:
         for srv in aservers:
