@@ -35,6 +35,7 @@ throughput at B=64 — throughput-vs-throughput, since the sequential loop IS
 the reference's batch story (one block at a time).
 """
 
+import gc
 import json
 import math
 import os
@@ -234,14 +235,39 @@ def stage_roofline(detail, stack):
     }
 
 
-def stage_mnist(detail, stack, enc_key, cipher, nonce, mnist_b):
+def stage_mnist(detail, holder, mnist_b):
     from hhe_tpu.models import loaders, pocketnn
-    from hhe_tpu.ops import helin
+    from hhe_tpu.ops import bfv, helin, pasta
     from hhe_tpu.workloads import hhe_inference as hi
 
     _log("MNIST 2FC")
-    stack.tc.clear_caches()  # free ~2 GB of ECG-phase round material
+    # Free the throughput-stage 13-limb stack FIRST (its BSGS keys + galois
+    # key dict + round-material caches hold ~4 GB of HBM; two stacks do not
+    # fit the chip together).
+    n = holder["stack"].ctx.n
+    holder["stack"].tc.clear_caches()
+    holder.clear()
+    gc.collect()
+    # The transcipher->2FC pipeline needs ~90 more noise bits than the
+    # 13-limb production chain leaves (measured: 53 bits post-decompose;
+    # fc1 ct-x-ct -28, rotate-reduce -13, square -28 => exhausted), so this
+    # stage widens the chain to 16 limbs at the same degree — the
+    # reference's own precedent for depth beyond the default chain is its
+    # sec-none large preset (``SEAL_Cipher.cpp:47-68``).
+    mnist_limbs = int(os.environ.get("BENCH_MNIST_LIMBS", "16"))
+    _log(f"MNIST 2FC: building {mnist_limbs}-limb stack")
+    stack = hi.build_stack(
+        bfv.BFVParams(n=n, data_limbs=mnist_limbs, seed=1),
+        input_len=784,
+        device_keygen=True,
+        seed=1,
+    )
+    key = pasta.get_fixed_symmetric_key()
+    enc_key = stack.tc.encrypt_key(stack.pk, key)
+    cipher = pasta.Pasta(key, stack.ctx.t)
+    nonce = 50_000
     ctx = stack.ctx
+    detail["mnist_2fc_limbs"] = mnist_limbs
     w1 = pocketnn.read_csv_matrix(
         "/root/reference/weights/mnist/qat/"
         "quant_2fc_2bits_mnist_plain_2bits_weights_fc1.csv"
@@ -257,8 +283,10 @@ def stage_mnist(detail, stack, enc_key, cipher, nonce, mnist_b):
     sym = cipher.encrypt(samples.astype(np.uint64), nonce=m_nonce)
     t0 = time.time()
     data_ct = hi.csp_decompose(stack, enc_key, sym, nonce=m_nonce)
+    # row_chunk=8: the fc1 relinearize hoist is [kd, B, chunk, k+1, N]
+    # (~300 MB per temporary at 16 limbs); chunk=32 OOMs a 16 GB chip
     logits_ct = hi.csp_eval_2fc(
-        stack, data_ct, w1_cts, np.asarray(w2, np.int64), row_chunk=32
+        stack, data_ct, w1_cts, np.asarray(w2, np.int64), row_chunk=8
     )
     np.asarray(logits_ct.data[0][..., 0, :4])
     mnist_s = time.time() - t0
@@ -277,15 +305,21 @@ def stage_mnist(detail, stack, enc_key, cipher, nonce, mnist_b):
     )
 
 
-def stage_large_preset(detail):
+def stage_large_preset(detail, holder):
     """One device keystream block at the large preset degree N=65536
     (reference ``SEAL_Cipher.cpp:47-68``), reduced limb count — records the
     first on-chip block time at that degree."""
     from hhe_tpu.ops import bfv, pasta, transcipher
 
     _log("large preset N=65536 keystream block")
+    if holder:  # mnist stage skipped: the 13-limb stack is still resident
+        holder["stack"].tc.clear_caches()
+        holder.clear()
+    gc.collect()  # free any prior stage's device buffers
     n, limbs = 65536, int(os.environ.get("BENCH_LARGE_LIMBS", "8"))
-    ctx = bfv.Context(bfv.BFVParams(n=n, data_limbs=limbs, seed=1))
+    # t=65537 cannot batch at this degree — large_params picks a 29-bit
+    # NTT-friendly plaintext modulus (see bfv.large_params docstring)
+    ctx = bfv.Context(bfv.large_params(data_limbs=limbs, seed=1))
     sk = ctx.keygen_secret()
     rk, gks = ctx.keygen_eval_keys_device(
         sk, transcipher.galois_elts(ctx, True), include_relin=True, seed=1
@@ -321,6 +355,10 @@ def main():
 
     # ---- headline: batch-amortized transcipher throughput (always runs)
     stack, enc_key, cipher, tput, nonce = stage_throughput(detail, n, limbs, reps)
+    # later stages read via the holder so stage_mnist can free this stack
+    # (two production stacks do not fit HBM together)
+    holder = {"stack": stack, "enc_key": enc_key}
+    del cipher
     RESULT["value"] = round(tput[64], 4)
     RESULT["vs_baseline"] = round(tput[64] * BASELINE_BLOCK_S, 3)
     detail["baseline_block_s"] = BASELINE_BLOCK_S
@@ -330,16 +368,17 @@ def main():
     )
     _emit()  # headline lands on stdout before anything slow can time out
 
+    del stack, enc_key
     for name, fn, need_s in (
-        ("block_sync", lambda: stage_block_sync(detail, stack, enc_key, reps), 120),
-        ("ntt", lambda: stage_ntt(detail, stack, n, limbs), 120),
-        ("roofline", lambda: stage_roofline(detail, stack), 5),
         (
-            "mnist_2fc",
-            lambda: stage_mnist(detail, stack, enc_key, cipher, nonce, mnist_b),
-            420,
+            "block_sync",
+            lambda: stage_block_sync(detail, holder["stack"], holder["enc_key"], reps),
+            120,
         ),
-        ("large_preset_65536", lambda: stage_large_preset(detail), 300),
+        ("ntt", lambda: stage_ntt(detail, holder["stack"], n, limbs), 120),
+        ("roofline", lambda: stage_roofline(detail, holder["stack"]), 5),
+        ("mnist_2fc", lambda: stage_mnist(detail, holder, mnist_b), 600),
+        ("large_preset_65536", lambda: stage_large_preset(detail, holder), 300),
     ):
         if _remaining() < need_s:
             detail["skipped"].append(name)

@@ -29,6 +29,7 @@ from __future__ import annotations
 import collections
 import functools
 import math
+import os
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -90,9 +91,13 @@ class Transcipher:
         # serial gather vs idle MXU).  Auto: on for TPU backends at tileable
         # degrees, off on CPU (where int8 matmuls are slower than takes).
         if use_mxu_galois is None:
-            use_mxu_galois = (
-                jax.default_backend() == "tpu" and ctx.n % (128 * 128) == 0
-            )
+            env = os.environ.get("HHE_MXU_GALOIS")  # A/B override for tools
+            if env is not None:
+                use_mxu_galois = env.lower() not in ("0", "false", "off")
+            else:
+                use_mxu_galois = (
+                    jax.default_backend() == "tpu" and ctx.n % (128 * 128) == 0
+                )
         self.use_mxu_galois = use_mxu_galois and ctx.n % (128 * 128) == 0
         self.g_neg1 = ctx.galois_elt_from_step(-1)
         self.g_cols = 2 * ctx.n - 1
