@@ -5,8 +5,10 @@ Prints the JSON result line `{"metric", "value", "unit", "vs_baseline",
 "detail"}` after EVERY completed stage (last line wins), so a timeout at any
 point still leaves the best-so-far numbers on stdout — a bench that can die
 with zero output is a broken bench (round-2 lesson).  Stages that would bust
-the wall-clock budget (BENCH_BUDGET_S, default 1500 s) are skipped and
-recorded in detail["skipped"].
+the wall-clock budget (BENCH_BUDGET_S, default 500 s = the driver's real
+window) are skipped and recorded in detail["skipped"]; each stage's status
+("running"/"ok"/"error"/"skipped") is emitted before AND after it runs so an
+external kill leaves a trace (round-3 lesson).
 
 Headline = **batch-amortized PASTA->BFV transcipher throughput** at the
 reference's production parameters (BFV N=16384, t=65537 — reference
@@ -60,7 +62,12 @@ _cache.enable()
 # decomposition block; measured via tools/ref_bench: 22.66 s/block at
 # N=16384, t=65537 (parity OK). See BASELINE.md.
 BASELINE_BLOCK_S = float(os.environ.get("HHE_BASELINE_BLOCK_S", "22.66"))
-BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+# Default = the driver's real wall-clock window (~550 s observed across
+# rounds 1-3) minus margin, NOT an aspirational number: stages must SKIP
+# (recorded in detail) rather than be killed mid-flight by the external
+# timeout (round-3 lesson: BENCH_r03 died at t+545 s with the skip logic
+# never firing because the default budget was 1500 s).
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "500"))
 START = time.time()
 
 RESULT = {
@@ -70,6 +77,51 @@ RESULT = {
     "vs_baseline": None,
     "detail": {"skipped": []},
 }
+
+# Stage-result cache (bench_results.json): every completed stage persists
+# its detail keys with a timestamp + device.  When the external window
+# forces a live skip, the skipped stage's numbers are back-filled from the
+# latest in-round run and FLAGGED with provenance ("cached-in-round <ts>")
+# — the one-time remote-compile cost of the production graphs (~2-5 min
+# each over the axon tunnel even with the persistent compile cache) can
+# exceed the driver's whole window, and a recorded-with-provenance number
+# beats a silent hole (round-3 verdict item 1: two stages' numbers never
+# landed as artifacts across two rounds).
+RESULTS_FILE = os.path.join(_REPO, "bench_results.json")
+
+
+def _load_results_cache():
+    try:
+        with open(RESULTS_FILE) as f:
+            return json.load(f)
+    except Exception:
+        return {}
+
+
+def _save_stage_result(name, keys):
+    """Persist `keys` (a {detail_key: value} dict) for stage `name`."""
+    cache = _load_results_cache()
+    cache[name] = {
+        "measured_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        "device": RESULT["detail"].get("device"),
+        "keys": keys,
+    }
+    try:
+        with open(RESULTS_FILE, "w") as f:
+            json.dump(cache, f, indent=1)
+    except Exception:
+        pass
+
+
+def _stage_keys(detail, before):
+    """Detail keys a stage added/changed (snapshot diff)."""
+    out = {}
+    for k, v in detail.items():
+        if k in ("skipped", "stage_status", "elapsed_s"):
+            continue
+        if k not in before or before[k] != v:
+            out[k] = v
+    return out
 
 
 def _remaining():
@@ -138,6 +190,29 @@ def stage_throughput(detail, n, limbs, reps):
     return stack, enc_key, cipher, tput, nonce
 
 
+def stage_throughput_knee(detail, holder, cipher_t, reps, nonce):
+    """Extend the batch curve to B=128/256 — locating the amortization knee
+    (round-3 verdict item 3: 'nothing is measured above B=64')."""
+    from hhe_tpu.ops import pasta, transcipher
+
+    stack, enc_key = holder["stack"], holder["enc_key"]
+    key = pasta.get_fixed_symmetric_key()
+    cipher = pasta.Pasta(key, cipher_t)
+    rng = np.random.default_rng(1)
+    cur = dict(detail["samples_per_s_by_batch"])
+    for b_sz in (128, 256, 512):
+        try:
+            _log(f"transcipher throughput: B={b_sz}")
+            data = rng.integers(0, cipher_t, (b_sz, transcipher.T), np.uint64)
+            _, nonce = _time_decompose(stack, enc_key, cipher, data, nonce, 1)
+            dt, nonce = _time_decompose(stack, enc_key, cipher, data, nonce, reps)
+            cur[b_sz] = round(b_sz / dt, 3)
+        except Exception as e:  # OOM at large B: record, keep the curve
+            cur[f"{b_sz}_error"] = f"{type(e).__name__}"[:80]
+            break
+    detail["samples_per_s_by_batch"] = cur
+
+
 def stage_block_sync(detail, stack, enc_key, reps):
     from hhe_tpu.ops import pasta
 
@@ -193,11 +268,47 @@ def stage_ntt(detail, stack, n, limbs):
     detail["ntt_gbps_effective"] = round(ntt_bytes * stages / ntt_s / 1e9, 1)
 
 
+def _measure_hbm_gbps() -> float:
+    """In-run device-to-device streaming rate (round-3 verdict item 9: the
+    roofline's denominator was a hard-coded 680.0 — measure it instead).
+
+    Slope method: chain K elementwise passes over a 512 MB buffer inside
+    ONE dispatch (each pass reads + writes the full buffer); the slope
+    between K=2 and K=10 cancels dispatch and tunnel-sync overhead, which
+    otherwise dominates (a naive per-call timing reads ~44 GB/s on a chip
+    whose streaming rate is ~680 GB/s)."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    x = jnp.zeros((128 * 1024 * 1024,), jnp.uint32)  # 512 MB
+    jax.block_until_ready(x)
+
+    def chain(k_iters):
+        return jax.jit(
+            lambda v: lax.fori_loop(0, k_iters, lambda _, c: c + jnp.uint32(1), v)
+        )
+
+    f2, f10 = chain(2), chain(10)
+    jax.block_until_ready(f2(x))
+    jax.block_until_ready(f10(x))
+
+    def best(fn, reps=3):
+        ts = []
+        for _ in range(reps):
+            t0 = time.time()
+            jax.block_until_ready(fn(x))
+            ts.append(time.time() - t0)
+        return min(ts)
+
+    per_pass = (best(f10) - best(f2)) / 8
+    return 2 * x.size * 4 / max(per_pass, 1e-9) / 1e9
+
+
 def stage_roofline(detail, stack):
     """One paragraph of arithmetic turning 'fast' into 'X% of speed-of-
     light': HBM bytes the keystream block MUST move vs the measured XLA
-    streaming rate (the key-switch contraction was measured at ~680 GB/s —
-    HBM peak for TPU v5e — see transcipher.py:500-505)."""
+    streaming rate (measured in-run by _measure_hbm_gbps; the key-switch
+    contraction itself runs at this rate — see transcipher.py:500-505)."""
     ctx = stack.ctx
     tc = stack.tc
     k, kd, n = ctx.k + 1, ctx.k, ctx.n
@@ -211,7 +322,7 @@ def stage_roofline(detail, stack):
     bytes_block = (
         4 * (key_bytes_mm + diag_bytes_mm) + 3 * relin_bytes + 2 * 6 * 2 * k * n * 4
     )
-    hbm_gbps = 680.0  # measured XLA streaming rate on this chip
+    hbm_gbps = round(_measure_hbm_gbps(), 1)
     sol_ms = bytes_block / (hbm_gbps * 1e9) * 1e3
     detail["roofline"] = {
         "bytes_per_block": bytes_block,
@@ -228,9 +339,9 @@ def stage_roofline(detail, stack):
             f"{key_bytes_mm/1e6:.0f} MB baby+giant keys + {diag_bytes_mm/1e6:.0f} MB "
             "diagonals) + 3 relins + BEHZ cube traffic, all of which must "
             "stream from HBM once per block; speed_of_light_ms = that "
-            "volume at the measured 680 GB/s XLA streaming rate. The "
-            "remaining gap is gather/permute time not overlapped with "
-            "streaming plus per-op dispatch."
+            f"volume at the in-run-measured {hbm_gbps} GB/s XLA streaming "
+            "rate. The remaining gap is gather/permute time not overlapped "
+            "with streaming plus per-op dispatch."
         ),
     }
 
@@ -255,6 +366,12 @@ def stage_mnist(detail, holder, mnist_b):
     # reference's own precedent for depth beyond the default chain is its
     # sec-none large preset (``SEAL_Cipher.cpp:47-68``).
     mnist_limbs = int(os.environ.get("BENCH_MNIST_LIMBS", "16"))
+    # 16 x 30-bit data limbs (+1 special) at N=16384 exceeds the HE-standard
+    # 128-bit ceiling (~438 bits) for that degree — flag it in the artifact
+    # so these are not read as secure-parameter numbers (the reference's own
+    # depth-beyond-default precedent is its sec_level_type::none large
+    # preset, SEAL_Cipher.cpp:47-68).
+    detail["mnist_2fc_sec_level"] = "below-128-bit (sec-none precedent)"
     _log(f"MNIST 2FC: building {mnist_limbs}-limb stack")
     stack = hi.build_stack(
         bfv.BFVParams(n=n, data_limbs=mnist_limbs, seed=1),
@@ -340,6 +457,13 @@ def stage_large_preset(detail, holder):
     detail["large_preset"] = {
         "n": n,
         "limbs": limbs,
+        # the plaintext modulus differs from the reference preset: SEAL
+        # keeps the caller's t=65537 with 60-bit coeff primes
+        # (SEAL_Cipher.cpp:47-68), while this chain's u32 limbs need an
+        # NTT-friendly t at degree 65536 — record it so the deviation is
+        # visible in the artifact (advisor round-3 finding).
+        "t": int(ctx.t),
+        "t_note": "differs from reference preset's 65537 (not batchable at N=65536)",
         "block_ms_sync": round(min(ts) * 1e3, 1),
         "mxu_galois": bool(tc.use_mxu_galois),
     }
@@ -368,27 +492,52 @@ def main():
     )
     _emit()  # headline lands on stdout before anything slow can time out
 
+    ct_t = stack.ctx.t
     del stack, enc_key
+    # Order (round-3 verdict item 1c): the cheap same-stack stages first
+    # (seconds), then the two never-recorded stages — MNIST-2FC and the
+    # N=65536 large preset — while budget remains.  Every stage's status is
+    # emitted BEFORE it runs, so an external kill leaves "running" in the
+    # last JSON line instead of a silently-complete-looking artifact.
+    status = detail["stage_status"] = {}
     for name, fn, need_s in (
         (
             "block_sync",
             lambda: stage_block_sync(detail, holder["stack"], holder["enc_key"], reps),
-            120,
+            30,
         ),
-        ("ntt", lambda: stage_ntt(detail, holder["stack"], n, limbs), 120),
-        ("roofline", lambda: stage_roofline(detail, holder["stack"]), 5),
-        ("mnist_2fc", lambda: stage_mnist(detail, holder, mnist_b), 600),
-        ("large_preset_65536", lambda: stage_large_preset(detail, holder), 300),
+        ("ntt", lambda: stage_ntt(detail, holder["stack"], n, limbs), 60),
+        ("roofline", lambda: stage_roofline(detail, holder["stack"]), 15),
+        (
+            "tput_knee",
+            lambda: stage_throughput_knee(detail, holder, ct_t, reps, nonce),
+            60,
+        ),
+        ("mnist_2fc", lambda: stage_mnist(detail, holder, mnist_b), 150),
+        ("large_preset_65536", lambda: stage_large_preset(detail, holder), 90),
     ):
         if _remaining() < need_s:
             detail["skipped"].append(name)
-            _log(f"SKIP {name}: {_remaining():.0f}s left < {need_s}s needed")
+            cached = _load_results_cache().get(name)
+            if cached:  # back-fill from the latest in-round run, flagged
+                detail.update(cached["keys"])
+                status[name] = f"cached-in-round {cached['measured_at']}"
+                _log(f"SKIP {name}: back-filled from {cached['measured_at']}")
+            else:
+                status[name] = "skipped"
+                _log(f"SKIP {name}: {_remaining():.0f}s left < {need_s}s needed")
             _emit()
             continue
+        status[name] = "running"
+        _emit()
+        before = dict(detail)
         try:
             fn()
+            status[name] = "ok"
+            _save_stage_result(name, _stage_keys(detail, before))
         except Exception as e:  # pragma: no cover — record, don't die
             detail[f"{name}_error"] = f"{type(e).__name__}: {e}"[:200]
+            status[name] = "error"
         _emit()
 
 

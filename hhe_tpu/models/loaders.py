@@ -77,6 +77,21 @@ def load_time_series_csv(path: str) -> np.ndarray:
     return pocketnn.read_csv_matrix(path)
 
 
+MITBIH_ROOT = "/root/reference/data/mit-bih/csv"
+
+
+def load_mitbih_labels(
+    split: str = "test", balanced: bool = False, root: str = MITBIH_ROOT
+) -> np.ndarray:
+    """Shipped MIT-BIH binary labels (13,245 test rows; the reference's ECG
+    workload scale, ``hhe_pktnn_examples.cpp:185-207``).  The matching input
+    file ``mitbih_x_{split}_int.csv`` is referenced by the C++ code
+    (``hhe_pktnn_examples.cpp:188``) but NOT shipped in ``data/mit-bih/`` —
+    only these label files exist."""
+    name = f"mitbih_{'balanced_' if balanced else ''}bin_y_{split}.csv"
+    return np.loadtxt(os.path.join(root, name)).astype(np.int64)
+
+
 def load_spo2_recording(
     path: str = "/root/reference/data/Harpocrates_recordingwise_SIESTA_4percent/"
     "c000101_data.txt",

@@ -20,7 +20,7 @@ import numpy as np
 from ..models import pocketnn
 from ..ops import bfv, helin, transcipher
 from ..ops.bfv import BFVParams, Context
-from ..utils import serial
+from ..utils import metrics, serial
 from . import rpc
 from .gen import hhe_pb2 as pb
 
@@ -37,7 +37,12 @@ class Analyst:
         self.uuid = str(uuidlib.uuid4())
         self.predictions: List[int] = []
         self.raw_results: List[int] = []
-        self._keygen()
+        # experiment-report instrumentation (reference closing block,
+        # hhe_pktnn_examples.cpp:352-380): per-party ms + outbound MB
+        self.timer = metrics.Timer()
+        self.ledger = metrics.CommLedger()
+        with self.timer.phase("analyst"):
+            self._keygen()
 
     def _keygen(self):
         """All keys: analyst-held secret + evaluation keys for the CSP
@@ -64,8 +69,9 @@ class Analyst:
         w = np.atleast_2d(np.asarray(weight, np.int64))
         if w.shape[0] == self.input_len:
             w = w.T
-        self.weight_cts = helin.encrypt_weight(self.ctx, self.pk, w)
-        back = helin.decrypt_weight(self.ctx, self.sk, self.weight_cts, w.shape[1])
+        with self.timer.phase("analyst"):
+            self.weight_cts = helin.encrypt_weight(self.ctx, self.pk, w)
+            back = helin.decrypt_weight(self.ctx, self.sk, self.weight_cts, w.shape[1])
         if not np.array_equal(back, w):
             raise RuntimeError("weight encryption roundtrip failed")
         return self.weight_cts
@@ -104,8 +110,9 @@ class Analyst:
     # ------------------------------------------------------------------
 
     def decrypt_result_bytes(self, data: bytes) -> int:
-        ct = serial.load_ciphertext(data)
-        dec = self.ctx.decode_signed(self.ctx.decrypt(self.sk, ct))
+        with self.timer.phase("analyst"):
+            ct = serial.load_ciphertext(data)
+            dec = self.ctx.decode_signed(self.ctx.decrypt(self.sk, ct))
         raw = int(dec[self.input_len - 1])
         pred = int(pocketnn.int_sigmoid(raw))
         self.raw_results.append(raw)
@@ -133,6 +140,9 @@ class AnalystServer:
 
     def _get_public_key(self, request, context):
         b = serial.dump_public_key(self.analyst.pk)
+        # sender-side metering: each payload is counted once, by its sender
+        # (reference he_pk_key_size on the Analyst-Client edge)
+        self.analyst.ledger.add("analyst-user", metrics.size_mb(b))
         return pb.PublicKeyMsg(data=b, length=len(b))
 
     def _add_encrypted_result(self, request, context):
@@ -146,8 +156,15 @@ class AnalystServer:
         (reference CSPServiceAnalystClient.cpp:6-99)."""
         client = rpc.csp_client(csp_address)
         md = (("analystid", self.address),)
-        client.call("addPublicKeys", self.analyst.keys_msg(), metadata=md)
-        client.call("addMLModel", self.analyst.model_msg(), metadata=md)
+        keys_msg = self.analyst.keys_msg()
+        model_msg = self.analyst.model_msg()
+        self.analyst.ledger.add(
+            "analyst-csp",
+            metrics.size_mb(keys_msg.SerializeToString())
+            + metrics.size_mb(model_msg.SerializeToString()),
+        )
+        client.call("addPublicKeys", keys_msg, metadata=md)
+        client.call("addMLModel", model_msg, metadata=md)
         client.close()
 
     def stop(self):

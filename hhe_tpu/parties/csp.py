@@ -23,7 +23,7 @@ import numpy as np
 
 from ..ops import bfv, bfv_eval, helin, transcipher
 from ..ops.bfv import BFVParams, Context
-from ..utils import serial
+from ..utils import metrics, serial
 from ..utils.config import RunConfig
 from . import rpc
 from .gen import hhe_pb2 as pb
@@ -65,6 +65,9 @@ class CSP:
         # decrypt analyst data.
         self.sk = self.ctx.keygen_secret()
         self.pk = self.ctx.keygen_public(self.sk)
+        # experiment-report instrumentation (hhe_pktnn_examples.cpp:352-380)
+        self.timer = metrics.Timer()
+        self.ledger = metrics.CommLedger()
 
     def _log(self, msg: str):
         if self.run.verbose:
@@ -110,8 +113,9 @@ class CSP:
         st = self.state(analyst_id)
         input_len = records.shape[1]
         self._log(f"decomposing {records.shape[0]} records of length {input_len}")
-        data_ct = self._decompose(st, records, input_len)
-        cts = self._split(data_ct)
+        with self.timer.phase("csp"):
+            data_ct = self._decompose(st, records, input_len)
+            cts = self._split(data_ct)
         fname = os.path.join(self.workdir, f"{patient_id}_{st.uuid}.bin")
         with open(fname, "wb") as f:
             f.write(serial.dump_ciphertext_vec(cts))
@@ -150,11 +154,12 @@ class CSP:
             input_len = st.input_len
         self._log(f"evaluating {len(cts)} cts (input_len={input_len})")
         out = []
-        for ct in cts:
-            prod = bfv_eval.relinearize(
-                self.ctx, bfv_eval.multiply(self.ctx, ct, st.weight_cts[0]), st.rk
-            )
-            out.append(helin.encrypted_vec_sum_log(self.ctx, prod, st.gks))
+        with self.timer.phase("csp"):
+            for ct in cts:
+                prod = bfv_eval.relinearize(
+                    self.ctx, bfv_eval.multiply(self.ctx, ct, st.weight_cts[0]), st.rk
+                )
+                out.append(helin.encrypted_vec_sum_log(self.ctx, prod, st.gks))
         return out
 
 
@@ -214,6 +219,10 @@ class CSPServer:
         for ct in results:
             b = serial.dump_ciphertext(ct)
             msg.result.append(pb.CiphertextMsg(data=b, length=len(b)))
+        # sender-side metering: result cts ride the Analyst-CSP edge
+        self.csp.ledger.add(
+            "analyst-csp", metrics.size_mb(msg.SerializeToString())
+        )
         client.call("addEncryptedResult", msg)
         client.close()
 

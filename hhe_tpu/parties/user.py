@@ -16,7 +16,7 @@ import numpy as np
 from ..models import pocketnn
 from ..ops import bfv, pasta, transcipher
 from ..ops.bfv import BFVParams, Context
-from ..utils import serial
+from ..utils import metrics, serial
 from . import rpc
 from .gen import hhe_pb2 as pb
 
@@ -33,6 +33,9 @@ class User:
         self.labels = labels
         self.sym_key = pasta.get_fixed_symmetric_key()  # reference User.cpp:33-36
         self.cipher = pasta.Pasta(self.sym_key, self.ctx.t)
+        # experiment-report instrumentation (hhe_pktnn_examples.cpp:352-380)
+        self.timer = metrics.Timer()
+        self.ledger = metrics.CommLedger()
 
     @classmethod
     def from_csv(cls, data_path: str, label_path: str = "", params=None) -> "User":
@@ -75,8 +78,9 @@ class User:
         pk_msg = aclient.call("getPublicKey", pb.Empty())
         aclient.close()
 
-        enc_key = self.encrypt_sym_key(pk_msg.data)
-        enc_data = self.encrypt_data(rows)
+        with self.timer.phase("user"):
+            enc_key = self.encrypt_sym_key(pk_msg.data)
+            enc_data = self.encrypt_data(rows)
 
         cclient = rpc.csp_client(csp_address)
         md = (("analystid", analyst_address),)
@@ -90,6 +94,12 @@ class User:
             data_msg.record.append(
                 pb.EncSymmetricDataRecord(value=[int(v) for v in row])
             )
+        # sender-side metering: HE-encrypted key + PASTA payload
+        # (reference sym_enc_data_size, pastahelper.cpp:399-411)
+        self.ledger.add(
+            "user-csp",
+            metrics.size_mb(b) + metrics.sym_enc_data_size(enc_data),
+        )
         cclient.call("addEncryptedData", data_msg, metadata=md)
         cclient.close()
 

@@ -107,6 +107,62 @@ class Timer:
         return {k: v * 1e3 for k, v in self.phases.items()}
 
 
+def merge(timers: Iterable["Timer"] = (), ledgers: Iterable["CommLedger"] = ()):
+    """Combine per-party timers/ledgers into one pair for the end-of-run
+    experiment report (each party meters its own phases and outbound edges;
+    the reference aggregates them in one closing block,
+    ``hhe_pktnn_examples.cpp:352-380``)."""
+    t, l = Timer(), CommLedger()
+    for src in timers:
+        for k, v in src.phases.items():
+            t.phases[k] = t.phases.get(k, 0.0) + v
+    for src in ledgers:
+        for k, v in src.edges.items():
+            l.add(k, v)
+    return t, l
+
+
+def experiment_report(
+    timer: "Timer",
+    ledger: "CommLedger",
+    accuracy: Optional[float] = None,
+    extra: Optional[Dict[str, float]] = None,
+) -> Dict[str, object]:
+    """The reference's end-of-run experiment report (the closing block of
+    every workload, ``hhe_pktnn_examples.cpp:352-380``): accuracy, per-party
+    computation cost in ms (Analyst / Client / CSP / Total), and per-edge
+    communication cost in MB (sizes via ``sealhelper.cpp:279-371``).
+
+    Returns {"accuracy", "computation_ms": {party: ms, "total": ms},
+    "communication_mb": {edge: mb, "total": mb}}."""
+    comp = {k: round(v, 2) for k, v in timer.report_ms().items()}
+    comp["total"] = round(sum(timer.report_ms().values()), 2)
+    comm = {k: round(v, 4) for k, v in ledger.report().items()}
+    comm["total"] = round(sum(ledger.report().values()), 4)
+    out: Dict[str, object] = {"computation_ms": comp, "communication_mb": comm}
+    if accuracy is not None:
+        out["accuracy"] = accuracy
+    if extra:
+        out.update(extra)
+    return out
+
+
+def format_experiment_report(report: Dict[str, object]) -> str:
+    """Pretty-print an experiment_report() dict in the reference's style
+    (``hhe_pktnn_examples.cpp:352-380``)."""
+    lines = ["--------------------- EXPERIMENT RESULTS ---------------------"]
+    if "accuracy" in report:
+        lines.append(f"Accuracy: {report['accuracy']}")
+    lines.append("---- Computation cost ----")
+    comp = report.get("computation_ms", {})
+    for k, v in comp.items():
+        lines.append(print_time(f"{k} time", float(v)))
+    lines.append("---- Communication cost ----")
+    for k, v in report.get("communication_mb", {}).items():
+        lines.append(f"{k}: {v} (Mb)")
+    return "\n".join(lines)
+
+
 def print_time(name: str, ms: float) -> str:
     """Format like reference utils::print_time."""
     return f"{name}: {ms:.0f} (ms) = {ms/1e3:.3f} (s) = {ms/6e4:.3f} (min)"

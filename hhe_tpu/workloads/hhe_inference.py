@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from ..models import pocketnn
 from ..ops import bfv, bfv_eval, helin, pasta, transcipher
 from ..ops.bfv import BFVParams, Ciphertext, Context
-from ..utils import checks
+from ..utils import checks, metrics
 from ..utils.config import Config, RunConfig
 
 
@@ -219,27 +219,42 @@ def hhe_1fc_inference(
     samples, _ = _apply_run(samples, None, run)
     B, L = samples.shape
     assert w.shape == (L,)
+    timer, ledger = metrics.Timer(), metrics.CommLedger()
 
     # User: symmetric encryption + HE key encryption
     key = pasta.get_fixed_symmetric_key()
     cipher = pasta.Pasta(key, ctx.t)
-    sym = cipher.encrypt(samples)
-    enc_key = stack.tc.encrypt_key(stack.pk, key)
+    with timer.phase("user"):
+        sym = cipher.encrypt(samples)
+        enc_key = stack.tc.encrypt_key(stack.pk, key)
+    ledger.add("analyst-user", metrics.he_pk_size(stack.pk))
+    ledger.add(
+        "user-csp",
+        metrics.he_vec_size([enc_key]) + metrics.sym_enc_data_size(sym),
+    )
 
     # Analyst: model encryption (transposed row -> one ct)
-    weight_ct = helin.encrypt_weight(ctx, stack.pk, w[None, :])[0]
+    with timer.phase("analyst"):
+        weight_ct = helin.encrypt_weight(ctx, stack.pk, w[None, :])[0]
+    ledger.add(
+        "analyst-csp",
+        metrics.he_key_size(stack.rk, stack.gks) + metrics.he_vec_size([weight_ct]),
+    )
 
     # CSP: transcipher + evaluate
-    data_ct = csp_decompose(stack, enc_key, sym)
-    _debug_noise(stack, data_ct, "decomposition+flatten", run)
-    wct = Ciphertext(
-        weight_ct.data[:, None] if np.asarray(data_ct.data).ndim == 4 else weight_ct.data
-    )
-    result = csp_eval_1fc(stack, data_ct, wct, do_sum=True)
+    with timer.phase("csp"):
+        data_ct = csp_decompose(stack, enc_key, sym)
+        _debug_noise(stack, data_ct, "decomposition+flatten", run)
+        wct = Ciphertext(
+            weight_ct.data[:, None] if np.asarray(data_ct.data).ndim == 4 else weight_ct.data
+        )
+        result = csp_eval_1fc(stack, data_ct, wct, do_sum=True)
     _debug_noise(stack, result, "encrypted FC + vec_sum", run)
+    ledger.add("analyst-csp", metrics.he_vec_size(_split_batch(result)))
 
     # Analyst: decrypt
-    raw, preds = analyst_decrypt_slot_sigmoid(stack, result, L)
+    with timer.phase("analyst"):
+        raw, preds = analyst_decrypt_slot_sigmoid(stack, result, L)
 
     if check_parity:
         expect = (samples.astype(np.int64) @ w).astype(np.int64)
@@ -248,7 +263,10 @@ def hhe_1fc_inference(
                 "FC layer's plaintext results and HHE results are different: "
                 f"{raw} vs {expect}"
             )
-    return {"raw": raw, "predictions": preds}
+    report = metrics.experiment_report(timer, ledger)
+    if run is not None and run.verbose:
+        print(metrics.format_experiment_report(report), flush=True)
+    return {"raw": raw, "predictions": preds, "report": report}
 
 
 def _fc2_scalar_consts(ctx: Context, w2: np.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -409,6 +427,112 @@ def hhe_2fc_inference(
     if labels is not None:
         out["accuracy"] = float(np.mean(preds == np.asarray(labels).reshape(-1)[:B]))
     return out
+
+
+ECG_WEIGHT_CSV = "/root/reference/weights/ecg/ecg_512/fc1_weight_50epochs_bz4.csv"
+
+
+def hhe_ecg_full_inference(
+    stack: HHEStack,
+    weight_path: str = ECG_WEIGHT_CSV,
+    batch: int = 1024,
+    seed: int = 0,
+    run: Optional[RunConfig] = None,
+) -> Dict[str, object]:
+    """The reference's full-dataset ECG benchmark
+    (``hhe_pktnn_ecg_inference``, ``hhe_pktnn_examples.cpp:63-383``: 13,245
+    MIT-BIH samples through transcipher + encrypted weight product, with
+    accuracy and per-party/per-edge cost accounting) at the scale the
+    shipped assets allow.
+
+    **Documented substitution**: the reference reads
+    ``mitbih_x_test_int.csv`` (``hhe_pktnn_examples.cpp:188``) but the repo
+    ships only the label files (``data/mit-bih/csv/``) — the input matrix is
+    absent.  This run therefore sizes itself from the shipped 13,245-row
+    test label file and uses deterministic surrogate integer rows in
+    [0, 64) — the ecg_512 model's weights reach |w| = 508, so inputs < 65
+    keep every per-slot product inside the +/- t/2 signed range, as the
+    shipped integer inputs must have (the reference decodes per-slot
+    products the same way, ``hhe_pktnn_examples.cpp:305-335``).  The
+    encrypted-vs-plaintext agreement ("parity") is exact and meaningful;
+    ``label_accuracy`` is reported but NOT meaningful under surrogate
+    inputs and is flagged as such in the report.
+
+    All samples share the reference's fixed nonce/keystream
+    (``pasta_3_plain.cpp:10``), so the CSP evaluates ONE homomorphic
+    keystream and amortizes it over every sample — the design's headline
+    batching win over the reference's per-record loop (CSP.cpp:247-252)."""
+    ctx = stack.ctx
+    w = np.asarray(pocketnn.read_csv_matrix(weight_path), np.int64).reshape(-1)
+    assert w.shape == (transcipher.T,)
+    from ..models import loaders
+
+    labels = loaders.load_mitbih_labels("test")
+    n = run.sample_limit(len(labels)) if run is not None else len(labels)
+    labels = labels[:n] * 128  # reference scales binary labels to {0, 128}
+    rng = np.random.default_rng(seed)
+    x = rng.integers(0, 64, (n, transcipher.T)).astype(np.uint64)
+
+    timer, ledger = metrics.Timer(), metrics.CommLedger()
+    key = pasta.get_fixed_symmetric_key()
+    cipher = pasta.Pasta(key, ctx.t)
+    with timer.phase("user"):
+        sym = cipher.encrypt(x)
+        enc_key = stack.tc.encrypt_key(stack.pk, key)
+    ledger.add("analyst-user", metrics.he_pk_size(stack.pk))
+    ledger.add(
+        "user-csp", metrics.he_vec_size([enc_key]) + metrics.sym_enc_data_size(sym)
+    )
+    with timer.phase("analyst"):
+        weight_ct = helin.encrypt_weight(ctx, stack.pk, w[None, :])[0]
+    ledger.add(
+        "analyst-csp",
+        metrics.he_key_size(stack.rk, stack.gks) + metrics.he_vec_size([weight_ct]),
+    )
+
+    preds = []
+    result_mb = 0.0
+    for s in range(0, n, batch):
+        chunk = sym[s : s + batch]
+        with timer.phase("csp"):
+            data_ct = csp_decompose(stack, enc_key, chunk)
+            wct = Ciphertext(
+                weight_ct.data[:, None]
+                if np.asarray(data_ct.data).ndim == 4
+                else weight_ct.data
+            )
+            prod = bfv_eval.relinearize(
+                ctx, bfv_eval.multiply(ctx, data_ct, wct), stack.rk
+            )
+        # result size metered per batched ct (one per sample on the wire)
+        result_mb += metrics.he_vec_size(_split_batch(prod))
+        with timer.phase("analyst"):
+            preds.extend(analyst_decrypt_sum_sigmoid(stack, prod, transcipher.T))
+    ledger.add("analyst-csp", result_mb)
+    preds = np.asarray(preds)
+
+    # encrypted-vs-plaintext agreement (the reference's parity contract)
+    sums = (x.astype(np.int64) * w).sum(1)
+    sig = np.asarray(pocketnn.simple_pocket_sigmoid(sums))
+    expect = np.where(sig > 64, 128, 0)
+    agreement = float(np.mean(preds == expect))
+    report = metrics.experiment_report(
+        timer,
+        ledger,
+        accuracy=agreement,
+        extra={
+            "samples": n,
+            "label_accuracy": float(np.mean(preds == labels)),
+            "label_accuracy_note": (
+                "surrogate inputs (mitbih_x_test_int.csv not shipped) — "
+                "label_accuracy is not meaningful; 'accuracy' is the "
+                "encrypted-vs-plaintext agreement"
+            ),
+        },
+    )
+    if run is not None and run.verbose:
+        print(metrics.format_experiment_report(report), flush=True)
+    return {"predictions": preds, "agreement": agreement, "report": report}
 
 
 def hhe_ecg_inference(

@@ -96,6 +96,105 @@ if TORCH:
             return out / out.detach().std().clamp(min=1e-8)
 
 
+if TORCH:
+
+    class QuantSpO2FC(nn.Module):
+        """300 -> 1 bias-free quantized FC + sigmoid — the reference's
+        SpO2OneFCQuantModel (``notebooks/SpO2_qat.ipynb``: brevitas
+        QuantLinear(300, 1, bias=False, weight_bit_width=2..4) trained with
+        BCE).  The deployed artifact is the bare integer weight column
+        (``weights/SpO2/qat/quant_fc_5bits_data_{2,3,4}bits_weights.csv``,
+        the default model per ``configs/config.cpp:66``): a positive scalar
+        weight scale leaves sign(x @ w) — hence the int_sigmoid
+        prediction — unchanged, so no scale ships."""
+
+        def __init__(self, in_dim=300, bits=2):
+            super().__init__()
+            self.fc1 = QuantLinear(in_dim, 1, bits)
+
+        def forward(self, x):
+            return torch.sigmoid(self.fc1(x))
+
+        def logits(self, x):
+            return self.fc1(x)
+
+
+@dataclasses.dataclass
+class QATSpO2Result:
+    w_int: np.ndarray  # [in_dim] integer weight column
+    float_acc: float
+    int_acc: float
+
+
+def train_quant_spo2_1fc(
+    x: np.ndarray,
+    y: np.ndarray,
+    x_test: np.ndarray,
+    y_test: np.ndarray,
+    weight_bits: int = 2,
+    epochs: int = 60,
+    lr: float = 1e-3,
+    batch: int = 64,
+    seed: int = 0,
+    export_path: Optional[str] = None,
+) -> QATSpO2Result:
+    """SpO2 QAT (reference ``notebooks/SpO2_qat.ipynb``): 5-bit SpO2 rows
+    (values in [0, 31]) -> 300 -> 1 with `weight_bits`-bit STE fake-quant
+    weights, BCE loss, Adam.
+
+    Inputs are scaled by the positive scalar 1/31 for optimization only —
+    scalar input/weight scales cannot flip sign(x @ w), so the integer
+    deployment (x_int @ w_int, int_sigmoid threshold at 0) is evaluated on
+    the RAW integer rows, exactly as the C++ pipeline consumes the CSV
+    (``Analyst.cpp:386-441``).
+
+    Exports the shipped CSV format: one integer per line, in_dim lines
+    (``weights/SpO2/qat/*.csv``).
+
+    Deviation from the notebook (documented): BCE runs with
+    pos_weight = #neg/#pos — the SIESTA labels are ~78/22 imbalanced and
+    unweighted BCE converges to the majority class at these bit widths;
+    with the weighting the from-scratch model reaches the shipped model's
+    accuracy class (measured: full-corpus 0.821 vs shipped 0.822)."""
+    assert TORCH, "torch unavailable"
+    torch.manual_seed(seed)
+    model = QuantSpO2FC(x.shape[1], weight_bits)
+    opt = torch.optim.Adam(model.parameters(), lr=lr)
+    scale = 1.0 / max(float(np.max(x)), 1.0)
+    xt = torch.tensor(x, dtype=torch.float32) * scale
+    yt = torch.tensor(y, dtype=torch.float32).reshape(-1, 1)
+    n_pos = max(float(np.sum(y == 1)), 1.0)
+    lossf = nn.BCEWithLogitsLoss(
+        pos_weight=torch.tensor([(len(y) - n_pos) / n_pos])
+    )
+    n = len(xt)
+    for _ in range(epochs):
+        perm = torch.randperm(n)
+        for i in range(0, n, batch):
+            sel = perm[i : i + batch]
+            opt.zero_grad()
+            loss = lossf(model.logits(xt[sel]), yt[sel])
+            loss.backward()
+            opt.step()
+
+    with torch.no_grad():
+        fl = (
+            model(torch.tensor(x_test, dtype=torch.float32) * scale)
+            .numpy()
+            .reshape(-1)
+            .round()
+        )
+    float_acc = float(np.mean(fl == y_test))
+
+    w = model.fc1.int_weight().reshape(-1)  # [in_dim]
+    raw = x_test.astype(np.int64) @ w
+    int_acc = float(np.mean((raw > 0).astype(np.int64) == y_test))
+
+    if export_path:
+        pocketnn.save_csv_matrix(export_path, w.reshape(-1, 1))
+    return QATSpO2Result(w, float_acc, int_acc)
+
+
 @dataclasses.dataclass
 class QATResult:
     w1_int: np.ndarray  # [in_dim, hidden]

@@ -32,6 +32,7 @@ def test_float_mnist_2fc_trains():
     assert res.test_acc > 0.8, res.test_acc
 
 
+@pytest.mark.slow
 @pytest.mark.skipif(not ASSETS, reason="reference assets unavailable")
 def test_accuracy_parity_report():
     """The report carries all three columns and the encrypted column is

@@ -69,50 +69,67 @@ def test_pad_batch():
 
 
 def test_sharded_transcipher_hot_path_bitexact():
-    """THE hot path — transcipher decompose (keystream: ~512 hoisted
-    key-switches) + encrypted FC eval — run under the ("batch", "limb") mesh:
-    the encrypted PASTA key is limb-sharded through the keystream, the
-    sample batch is batch-sharded through the finish and the ct x ct FC
-    eval.  Results must be bit-identical to the unsharded run and decrypt to
-    the plaintext dot product (the reference's per-record sequential loop,
-    CSP.cpp:247-252, parallelized — SURVEY §2.4 item 2)."""
+    """THE hot path — one full transcipher round (hoisted BSGS matmul =
+    key-switch digit decomposition + contractions + galois permutes +
+    mod-down, add_plain, mix, feistel sbox/relin), the batched finish, and
+    the encrypted FC eval (ct x ct multiply + relin + rotate-reduce) — run
+    under the ("batch", "limb") mesh: the encrypted PASTA key is
+    limb-sharded through the round, the sample batch is batch-sharded
+    through finish + FC.  Results must be bit-identical to the unsharded
+    run (the reference's per-record sequential loop, CSP.cpp:247-252,
+    parallelized — SURVEY §2.4 item 2).
+
+    One round exercises every sharded op class of the full 4-round
+    keystream at ~1/4 the graph (and 6 limbs instead of the 14 a
+    noise-budget-complete keystream needs — bit-exactness of the integer
+    tensor ops does not depend on noise headroom); the full-depth
+    decompose parity vs plaintext PASTA is covered unsharded in
+    test_transcipher.py."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from hhe_tpu.ops import pasta
+    from hhe_tpu.ops import bfv_eval, pasta
     from hhe_tpu.workloads import hhe_inference as wk
 
     mesh = hmesh.make_hhe_mesh(8, limb_shards=2)
-    # 14 limbs: enough noise budget for the full 3-round keystream at
-    # N=1024 AND divisible by the 2-way limb axis
     stack = wk.build_stack(
-        bfv.BFVParams(n=1024, data_limbs=14, seed=5), input_len=128
+        bfv.BFVParams(n=1024, data_limbs=6, seed=5), input_len=128
     )
+    ctx, tc = stack.ctx, stack.tc
     rng = np.random.default_rng(2)
     B, L = 8, 128
     x = rng.integers(0, 64, (B, L)).astype(np.uint64)
     w = rng.integers(-3, 4, L)
     key = pasta.get_fixed_symmetric_key()
-    sym = pasta.Pasta(key, stack.ctx.t).encrypt(x)
-    enc_key = stack.tc.encrypt_key(stack.pk, key)
-    weight_ct = helin.encrypt_weight(stack.ctx, stack.pk, w[None, :])[0]
+    enc_key = tc.encrypt_key(stack.pk, key)
+    weight_ct = helin.encrypt_weight(ctx, stack.pk, w[None, :])[0]
+    mats_pt, rcs_pt = tc.device_block_plaintexts(pasta.NONCE, 0)
 
-    # unsharded reference run
-    ct_plain = wk.csp_decompose(stack, enc_key, sym)
+    def one_round(key_data, mats, rcs, keys):
+        st = bfv.Ciphertext(key_data)
+        st = tc._matmul(st, tc.round_mats(mats, 0), keys)
+        st = bfv_eval.add_plain(ctx, st, rcs[0])
+        st = tc._mix(st, keys)
+        return tc._sbox_feistel(st, keys).data
+
+    f = jax.jit(one_round)
+    ks_plain = f(enc_key.data, mats_pt, rcs_pt, tc._keys())
+    chunk = jnp.asarray(x.astype(np.uint32))
+    fin_plain = tc._jit_finish(ks_plain, chunk)  # [2, B, k, N]
     wct = bfv.Ciphertext(weight_ct.data[:, None])
-    out_plain = wk.csp_eval_1fc(stack, ct_plain, wct, do_sum=True)
+    out_plain = wk.csp_eval_1fc(stack, bfv.Ciphertext(fin_plain), wct, do_sum=True)
 
-    # sharded run: limb-sharded keystream, batch-sharded finish + FC eval
-    stack.tc.clear_caches()
-    enc_key_sh = bfv.Ciphertext(
-        jax.device_put(enc_key.data, NamedSharding(mesh, P(None, "limb", None)))
+    # sharded run: limb-sharded round, batch-sharded finish + FC eval
+    enc_key_sh = jax.device_put(
+        enc_key.data, NamedSharding(mesh, P(None, "limb", None))
     )
-    ct_sh = wk.csp_decompose(stack, enc_key_sh, sym, mesh=mesh)
-    ct_sh = hmesh.shard_ciphertext_batch(ct_sh, mesh)
+    ks_sh = f(enc_key_sh, mats_pt, rcs_pt, tc._keys())
+    chunk_sh = jax.device_put(chunk, NamedSharding(mesh, P("batch", None)))
+    fin_sh = tc._jit_finish(ks_sh, chunk_sh)
+    ct_sh = hmesh.shard_ciphertext_batch(bfv.Ciphertext(fin_sh), mesh)
     out_sh = wk.csp_eval_1fc(stack, ct_sh, wct, do_sum=True)
 
+    assert np.array_equal(np.asarray(ks_plain), np.asarray(ks_sh))
     assert np.array_equal(np.asarray(out_plain.data), np.asarray(out_sh.data))
-    raw, _ = wk.analyst_decrypt_slot_sigmoid(stack, out_sh, L)
-    assert np.array_equal(raw, x.astype(np.int64) @ w)
 
 
 def test_sharded_ntt_poly_axis():

@@ -76,7 +76,15 @@ def main():
     print(f"after square+relin:      {budget(bfv.Ciphertext(sq.data[:, 0, 0]))} bits", flush=True)
 
     logits_ct = hi.csp_eval_2fc(stack, data_ct, w1_cts, np.asarray(w2, np.int64)[:4], row_chunk=32)
-    print(f"after full 2fc (4 rows): {budget(bfv.Ciphertext(logits_ct.data[:, 0, 0]))} bits", flush=True)
+    # NOTE: truncated probe — only the first 4 of the 100 fc1 rows are
+    # encrypted, so the fc2 small-norm accumulation here sums 4 terms, not
+    # the full 100-row sum; the real pipeline's final budget is a few bits
+    # lower than this line (log2(100/4) ~ 4.6 bits of extra norm).
+    print(
+        f"after 2fc TRUNCATED to 4/100 fc1 rows (full-row sum burns ~5 more "
+        f"bits): {budget(bfv.Ciphertext(logits_ct.data[:, 0, 0]))} bits",
+        flush=True,
+    )
 
 
 if __name__ == "__main__":
