@@ -340,8 +340,15 @@ def stage_roofline(detail, stack):
             "diagonals) + 3 relins + BEHZ cube traffic, all of which must "
             "stream from HBM once per block; speed_of_light_ms = that "
             f"volume at the in-run-measured {hbm_gbps} GB/s XLA streaming "
-            "rate. The remaining gap is gather/permute time not overlapped "
-            "with streaming plus per-op dispatch."
+            "rate. Measured composition of the remaining gap (round-4 "
+            "trace, tools/profile_trace.py): ~52 ms of Pallas NTT kernels "
+            "(throughput-bound at ~23 G butterflies/s across ~26 "
+            "key-switch-grade transforms/block), ~50 ms of modular "
+            "elementwise fusions spread over ~6900 XLA ops, ~24 ms "
+            "dispatch/sync (sync-vs-pipelined delta). The compute floor, "
+            "not HBM, now binds: butterflies are irreducible at this NTT "
+            "rate; further cuts need a faster NTT kernel (lazy-reduction "
+            "butterflies) or fewer transforms."
         ),
     }
 
@@ -396,17 +403,29 @@ def stage_mnist(detail, holder, mnist_b):
     x_img, y = loaders.load_mnist_test(limit=mnist_b)
     samples = np.asarray(x_img, np.int64)
     w1_cts = helin.encrypt_weight(ctx, stack.pk, np.asarray(w1, np.int64).T)
-    m_nonce = nonce + 1000
-    sym = cipher.encrypt(samples.astype(np.uint64), nonce=m_nonce)
-    t0 = time.time()
-    data_ct = hi.csp_decompose(stack, enc_key, sym, nonce=m_nonce)
+
     # row_chunk=8: the fc1 relinearize hoist is [kd, B, chunk, k+1, N]
     # (~300 MB per temporary at 16 limbs); chunk=32 OOMs a 16 GB chip
-    logits_ct = hi.csp_eval_2fc(
-        stack, data_ct, w1_cts, np.asarray(w2, np.int64), row_chunk=8
-    )
-    np.asarray(logits_ct.data[0][..., 0, :4])
+    def run_2fc(m_nonce):
+        sym = cipher.encrypt(samples.astype(np.uint64), nonce=m_nonce)
+        data_ct = hi.csp_decompose(stack, enc_key, sym, nonce=m_nonce)
+        logits_ct = hi.csp_eval_2fc(
+            stack, data_ct, w1_cts, np.asarray(w2, np.int64), row_chunk=8
+        )
+        np.asarray(logits_ct.data[0][..., 0, :4])
+        return logits_ct
+
+    # untimed warmup: graph compile/cache-load happens here; the timed run
+    # uses a FRESH nonce so the full homomorphic keystream re-evaluates
+    # (honest per-batch cost — only executables are reused, no results)
+    _log("MNIST 2FC: warmup (compile/load)")
+    run_2fc(nonce + 1000)
+    stack.tc.clear_caches()
+    _log("MNIST 2FC: timed run")
+    t0 = time.time()
+    logits_ct = run_2fc(nonce + 2000)
     mnist_s = time.time() - t0
+    m_nonce = nonce + 2000
     # parity vs plaintext mod-t (outside the timed region)
     logits = hi.decrypt_2fc_logits(stack, logits_ct)
     t = ctx.t
@@ -473,7 +492,11 @@ def main():
     n = int(os.environ.get("BENCH_N", "16384"))
     limbs = {2048: 4, 4096: 4, 8192: 7, 16384: 13}.get(n, 13)
     reps = int(os.environ.get("BENCH_REPS", "3"))
-    mnist_b = int(os.environ.get("BENCH_MNIST_B", "2"))
+    # B=4: the largest batch whose fc1 relinearize hoist
+    # ([kd, B, row_chunk=8, k+1, N] = 1.14 GB, x2-3 transients) fits next
+    # to the ~5 GB 16-limb stack on the 16 GB chip — B=8 was measured to
+    # RESOURCE_EXHAUSTED and poison the allocator for the following stage.
+    mnist_b = int(os.environ.get("BENCH_MNIST_B", "4"))
     detail = RESULT["detail"]
     detail.update({"n": n, "limbs": limbs, "device": str(jax.devices()[0])})
 

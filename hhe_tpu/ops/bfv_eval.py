@@ -208,14 +208,16 @@ def hoist_digits(ctx: Context, poly_q: jnp.ndarray) -> jnp.ndarray:
 def hoisted_ks_products(ctx: Context, fd_perm: jnp.ndarray, ksk: KSwitchKey):
     """Inner products of (permuted) hoisted digits with one rotation's keys:
     [..., k, k+1, N] NTT digits -> (h0, h1) [..., k+1, N] NTT over q ∪ P."""
+    from .modular import tree_add_mod
+
     qp, qpi = ctx.tb_qp.q, ctx.tb_qp.qinv_neg
     t0 = mont_mul(fd_perm, ksk.k0, qp, qpi)
     t1 = mont_mul(fd_perm, ksk.k1, qp, qpi)
-    acc0 = t0[..., 0, :, :]
-    acc1 = t1[..., 0, :, :]
-    for j in range(1, ctx.k):
-        acc0 = add_mod(acc0, t0[..., j, :, :], qp)
-        acc1 = add_mod(acc1, t1[..., j, :, :], qp)
+    # log-depth digit reduction: a k-step serial add chain of small [k+1, N]
+    # tensors is kernel-launch-bound (same pathology as the BSGS q-part
+    # accumulation, tools/profile_matmul.py round 4)
+    acc0 = tree_add_mod(t0, qp, axis=-3)[..., 0, :, :]
+    acc1 = tree_add_mod(t1, qp, axis=-3)[..., 0, :, :]
     return acc0, acc1
 
 

@@ -20,6 +20,7 @@ golden-model cross-validation (products of <2^31 values are exact in u64).
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 U32 = jnp.uint32
@@ -101,6 +102,29 @@ def sub_mod(a, b, q):
 
 def neg_mod(a, q):
     return jnp.where(a == 0, a, q - a)
+
+
+def tree_add_mod(t, q, axis=0):
+    """Log-depth modular sum along ``axis`` (keeps the axis, size 1).
+
+    Replaces sequential accumulate-loops: a J-step Python loop of
+    add_mod(acc, mont_mul(...)) lowers to J serially-dependent fused
+    kernels (measured 10.2 ms for the BSGS q-part accumulation at
+    production shapes, tools/profile_matmul.py round 4) while one batched
+    multiply + this log2(J)-pass reduction is bandwidth-bound (~2 ms)."""
+    n = t.shape[axis]
+    if n & (n - 1):  # pad once to a power of two (0 is the add_mod identity)
+        # cheaper than per-level odd-size concats, which materialize copies
+        target = 1 << n.bit_length()
+        pad = [(0, 0)] * t.ndim
+        pad[axis if axis >= 0 else t.ndim + axis] = (0, target - n)
+        t = jnp.pad(t, pad)
+    while t.shape[axis] > 1:
+        half = t.shape[axis] // 2
+        a = jax.lax.slice_in_dim(t, 0, half, axis=axis)
+        b = jax.lax.slice_in_dim(t, half, 2 * half, axis=axis)
+        t = add_mod(a, b, q)
+    return t
 
 
 def to_mont(a, r2_mont, q, qinv_neg):

@@ -110,15 +110,16 @@ def fbc_digits(x: jnp.ndarray, f: FBC) -> jnp.ndarray:
 
 
 def fbc_from_digits(tmp: jnp.ndarray, f: FBC) -> jnp.ndarray:
-    """FBC given precomputed digits: [..., ka, N] -> [..., kc, N]."""
-    ka = tmp.shape[-2]
-    acc = None
-    for j in range(ka):
-        contrib = modular.mont_mul(
-            tmp[..., j : j + 1, :], f.m_mont[j][:, None], f.c_q, f.c_qinv
-        )
-        acc = contrib if acc is None else modular.add_mod(acc, contrib, f.c_q)
-    return acc
+    """FBC given precomputed digits: [..., ka, N] -> [..., kc, N].
+
+    One batched [..., ka, kc, N] multiply + log-depth tree reduction — the
+    previous ka-step serial accumulate chain was kernel-launch-bound (the
+    same pathology measured at 10.2 ms in the BSGS accumulation,
+    tools/profile_matmul.py round 4)."""
+    contribs = modular.mont_mul(
+        tmp[..., :, None, :], f.m_mont[:, :, None], f.c_q, f.c_qinv
+    )  # [..., ka, kc, N]
+    return modular.tree_add_mod(contribs, f.c_q, axis=-3)[..., 0, :, :]
 
 
 def fbc_apply(x: jnp.ndarray, f: FBC) -> jnp.ndarray:
@@ -129,11 +130,10 @@ def fbc_apply(x: jnp.ndarray, f: FBC) -> jnp.ndarray:
 def fbc_digits_to_pow2(tmp: jnp.ndarray, tilde_mod: np.ndarray, bits: int) -> jnp.ndarray:
     """FBC digits -> a power-of-two modulus 2^bits (bits <= 16): masked u32 ops."""
     mask = np.uint32((1 << bits) - 1)
-    ka = tmp.shape[-2]
-    acc = jnp.zeros(tmp.shape[:-2] + (tmp.shape[-1],), jnp.uint32)
-    for j in range(ka):
-        acc = (acc + (tmp[..., j, :] & mask) * np.uint32(tilde_mod[j])) & mask
-    return acc
+    # u32 wraparound sums are exact mod 2^bits, so one batched multiply +
+    # plain sum replaces the ka-step serial masked-accumulate chain
+    t = (tmp & mask) * jnp.asarray(np.asarray(tilde_mod, np.uint32))[:, None]
+    return t.sum(axis=-2) & mask
 
 
 def reduce_u32(x: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:

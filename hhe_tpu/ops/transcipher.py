@@ -531,8 +531,8 @@ class Transcipher:
         if self.g_t is not None:
             st = bfv_eval.add(ctx, st, bfv_eval.apply_galois(ctx, st, self.g_t, gk_t))
 
-        f0 = ntt.ntt_fwd(st.data[0], ctx.tb_q)
-        f1 = ntt.ntt_fwd(st.data[1], ctx.tb_q)
+        f01 = ntt.ntt_fwd(st.data, ctx.tb_q)  # one call for both components
+        f0, f1 = f01[0], f01[1]
         fd = bfv_eval.hoist_digits(ctx, st.data[1])  # [kd, k+1, N] NTT(qP)
         fd_t = jnp.swapaxes(fd, -3, -2)  # moduli-major [k+1, kd, N]
 
@@ -575,29 +575,35 @@ class Transcipher:
         dq = mats_q.reshape(n2, n1, ctx.k, ctx.n)
         dqp = mats_qp.reshape(n2, n1, ctx.k + 1, ctx.n)
 
-        # q-part: acc0q[g] = sum_j rot_f0[j] * Dq[g, j]; raw c1 only at j = 0
-        acc0q = mont_mul(rot_f0[0][None], dq[:, 0], q, qi)
-        for j in range(1, n1):
-            acc0q = add_mod(acc0q, mont_mul(rot_f0[j][None], dq[:, j], q, qi), q)
+        # q-part: acc0q[g] = sum_j rot_f0[j] * Dq[g, j]; raw c1 only at j = 0.
+        # One batched [n2, n1, k, N] multiply + log-depth tree reduction: a
+        # sequential j-loop of fused mul+adds was the measured hot spot
+        # (10.2 ms of the ~27 ms matmul, tools/profile_matmul.py round 4) —
+        # n1 serially-dependent kernel launches vs one bandwidth-bound pass.
+        from .modular import tree_add_mod
+
+        acc0q = tree_add_mod(
+            mont_mul(rot_f0[None], dq, q, qi), q, axis=1
+        )[:, 0]
         acc1q = mont_mul(f1[None], dq[:, 0], q, qi)
 
         # P-part: acc*p[g] = sum_{j>=1} H*[j] * Dqp[g, j], lazily over q ∪ P
-        acc0p = mont_mul(h0[0][None], dqp[:, 1], qp, qpi)
-        acc1p = mont_mul(h1[0][None], dqp[:, 1], qp, qpi)
-        for j in range(2, n1):
-            acc0p = add_mod(acc0p, mont_mul(h0[j - 1][None], dqp[:, j], qp, qpi), qp)
-            acc1p = add_mod(acc1p, mont_mul(h1[j - 1][None], dqp[:, j], qp, qpi), qp)
+        acc0p = tree_add_mod(
+            mont_mul(h0[None], dqp[:, 1:], qp, qpi), qp, axis=1
+        )[:, 0]
+        acc1p = tree_add_mod(
+            mont_mul(h1[None], dqp[:, 1:], qp, qpi), qp, axis=1
+        )[:, 0]
 
-        i0 = add_mod(
-            ntt.ntt_inv(acc0q, ctx.tb_q),
-            bfv_eval.mod_down(ctx, ntt.ntt_inv(acc0p, ctx.tb_qp)),
-            q,
-        )  # [n2, k, N]
-        i1 = add_mod(
-            ntt.ntt_inv(acc1q, ctx.tb_q),
-            bfv_eval.mod_down(ctx, ntt.ntt_inv(acc1p, ctx.tb_qp)),
-            q,
+        # batch the four accumulator inverse-NTTs into two calls (q and qP
+        # bases) — per-call NTT cost is throughput-bound, but fewer launches
+        # fragment the graph less and keep the kernel fed
+        iq = ntt.ntt_inv(jnp.stack([acc0q, acc1q]), ctx.tb_q)  # [2, n2, k, N]
+        ip = bfv_eval.mod_down(
+            ctx, ntt.ntt_inv(jnp.stack([acc0p, acc1p]), ctx.tb_qp)
         )
+        i0 = add_mod(iq[0], ip[0], q)  # [n2, k, N]
+        i1 = add_mod(iq[1], ip[1], q)
         if n2 == 1:
             return Ciphertext(jnp.stack([i0[0], i1[0]]))
 

@@ -24,6 +24,27 @@ order-independent, so fwd/mul/inv compose exactly like the single-chip NTT.
 
 All twist/twiddle constants are sharded along the same axis as the data, so
 steps 2/3/5 are fully local; only the transposes ride the ICI.
+
+**Large-preset evaluator decision (measured, round 4).**  At the reference's
+N=65536 preset (``SEAL_Cipher.cpp:47-68``) this sharded NTT backs *keygen*
+(``Context.keygen_public(mesh=...)``, exercised at the full 58-limb chain in
+``tests/test_large_preset.py``), while the transcipher/evaluator keeps
+single-chip NTT tables.  Why: the measured single-chip keystream block at
+that degree is **322 ms** (8 limbs, BENCH_r04 ``large_preset`` stage) with
+every per-limb transform only ~2 ms of it — the block is dominated by the
+same key-switch/permute work as the 16384 path, not by any one transform.
+Sharding the polynomial axis would put TWO all_to_all transposes of the
+full [limbs, N] working set on the ICI *inside every one* of the ~26
+key-switches per block (~4 MB per transform crossing the interconnect each
+way), while the single-chip tables at 8-16 limbs fit comfortably in HBM
+(~8 MB of twiddles + the 280 MB MXU perm set).  Poly-axis sharding pays off
+for the *throughput* story instead: batch (dp) x limb (tp) sharding already
+scales samples across chips bit-exactly
+(``tests/test_parallel.py::test_sharded_transcipher_hot_path_bitexact``)
+with zero intra-key-switch collectives — so one chip per block, many blocks
+per pod.  Keygen is the one place a single 65536-degree transform stands
+alone (pk = a*s at full width, once), which is why ShardedNtt backs exactly
+that path.
 """
 
 from __future__ import annotations

@@ -26,7 +26,10 @@ from jax import lax
 from hhe_tpu.ops import bfv, bfv_eval, ntt, pasta, transcipher
 from hhe_tpu.ops.modular import add_mod, mont_mul
 
-R1, R2 = 3, 9
+# short chains: every (piece, R) pair is its own remote compile over the
+# tunnel (~1-3 min each); R=1->4 keeps 2 compiles/piece small while the
+# 3-rep delta still cancels dispatch+sync
+R1, R2 = 1, 4
 
 
 def slope(make_body, x, reps=3):
@@ -142,11 +145,11 @@ def main():
     dq = mats_q.reshape(n2, n1, ctx.k, ctx.n)
     dqp = mats_qp.reshape(n2, n1, ctx.k + 1, ctx.n)
 
+    from hhe_tpu.ops.modular import tree_add_mod
+
     def p_qaccum(c):
         rf = rot_f0c + c[0, 0, 0]
-        acc = mont_mul(rf[0][None], dq[:, 0], q, qi)
-        for j in range(1, n1):
-            acc = add_mod(acc, mont_mul(rf[j][None], dq[:, j], q, qi), q)
+        acc = tree_add_mod(mont_mul(rf[None], dq, q, qi), q, axis=1)[:, 0]
         return fold(c, acc)
 
     h0c = (
@@ -157,9 +160,7 @@ def main():
 
     def p_paccum(c):
         h = h0c + c[0, 0, 0]
-        acc = mont_mul(h[0][None], dqp[:, 1], qp, qpi)
-        for j in range(2, n1):
-            acc = add_mod(acc, mont_mul(h[j - 1][None], dqp[:, j], qp, qpi), qp)
+        acc = tree_add_mod(mont_mul(h[None], dqp[:, 1:], qp, qpi), qp, axis=1)[:, 0]
         return fold(c, acc)
 
     acc0p_c = mont_mul(h0c[0][None], dqp[:, 1], qp, qpi)
@@ -178,19 +179,20 @@ def main():
     def p_mix(c):
         return tc._mix(bfv.Ciphertext(c), keys).data
 
+    # NOTE: a chained FULL-matmul or baby-contract piece closes over the
+    # [31, 14, 13, N] key stacks as scan constants and trips the tunnel's
+    # remote-compile body limit (HTTP 413) — measure those via block_sync
+    # instead (keys enter _jit_keystream as arguments there).
     tests = [
-        ("FULL matmul round", p_full),
-        ("hoist_digits (digit NTT set)", p_hoist),
-        ("ntt_fwd f0+f1 [2,k,N]", p_f01),
-        ("hoist + baby contract x31", p_contract),
-        ("rot_f0 fan-out x32", p_rotf0),
-        ("baby result permutes x31", p_babyperm),
-        ("q-part accum (32 muls)", p_qaccum),
-        ("P-part accum (31 muls)", p_paccum),
-        ("ntt_inv + mod_down [4]", p_invdown),
+        ("q-part accum (tree)", p_qaccum),
+        ("P-part accum (tree)", p_paccum),
         ("feistel sbox", p_feistel),
         ("cube sbox", p_cube),
         ("mix", p_mix),
+        ("hoist_digits (digit NTT set)", p_hoist),
+        ("ntt_inv + mod_down [4]", p_invdown),
+        ("rot_f0 fan-out x32", p_rotf0),
+        ("baby result permutes x31", p_babyperm),
     ]
     for name, op in tests:
         try:
