@@ -109,17 +109,28 @@ def fbc_digits(x: jnp.ndarray, f: FBC) -> jnp.ndarray:
     return modular.mont_mul(x, f.inv_mont, f.a_q, f.a_qinv)
 
 
-def fbc_from_digits(tmp: jnp.ndarray, f: FBC) -> jnp.ndarray:
+def fbc_from_digits(tmp: jnp.ndarray, f: FBC, chunk: int = 4) -> jnp.ndarray:
     """FBC given precomputed digits: [..., ka, N] -> [..., kc, N].
 
-    One batched [..., ka, kc, N] multiply + log-depth tree reduction — the
-    previous ka-step serial accumulate chain was kernel-launch-bound (the
-    same pathology measured at 10.2 ms in the BSGS accumulation,
-    tools/profile_matmul.py round 4)."""
-    contribs = modular.mont_mul(
-        tmp[..., :, None, :], f.m_mont[:, :, None], f.c_q, f.c_qinv
-    )  # [..., ka, kc, N]
-    return modular.tree_add_mod(contribs, f.c_q, axis=-3)[..., 0, :, :]
+    Batched [..., chunk, kc, N] multiplies + log-depth tree reductions,
+    accumulated over ceil(ka/chunk) groups — the previous ka-step serial
+    accumulate chain was kernel-launch-bound (the pathology measured at
+    10.2 ms in the BSGS accumulation, tools/profile_matmul.py round 4),
+    while a single fully-batched [..., ka, kc, N] tensor was measured to
+    RESOURCE_EXHAUST the 16 GB chip inside the batched fc1 relinearize
+    (leading dims [B, row_chunk] multiply the ka x kc blow-up)."""
+    ka = tmp.shape[-2]
+    acc = None
+    for s in range(0, ka, chunk):
+        part = modular.mont_mul(
+            tmp[..., s : s + chunk, None, :],
+            f.m_mont[s : s + chunk, :, None],
+            f.c_q,
+            f.c_qinv,
+        )  # [..., <=chunk, kc, N]
+        part = modular.tree_add_mod(part, f.c_q, axis=-3)[..., 0, :, :]
+        acc = part if acc is None else modular.add_mod(acc, part, f.c_q)
+    return acc
 
 
 def fbc_apply(x: jnp.ndarray, f: FBC) -> jnp.ndarray:
