@@ -286,6 +286,36 @@ def _fc2_scalar_consts(ctx: Context, w2: np.ndarray) -> Tuple[jnp.ndarray, jnp.n
     return jnp.asarray(mont), jnp.asarray((w2 < 0)[:, :, None, None])
 
 
+def _jit_2fc_chunk(stack: HHEStack):
+    """One jitted program for a (data x weight-chunk) 2FC pass: BEHZ
+    multiply + relinearize + log-depth vec-sum + square + the small-norm
+    fc2 partial, all in a single device dispatch.  The previous eager
+    composition issued hundreds of per-op dispatches through the TPU
+    tunnel (measured: minutes per batch at production N)."""
+    import jax
+
+    if stack.__dict__.get("_jit_2fc_chunk") is None:
+        ctx = stack.ctx
+
+        def chunk_fn(dd, wstack, w2_mont, w2_neg, rk, gks):
+            from ..ops.modular import add_mod, mont_mul, neg_mod, tree_add_mod
+
+            a = Ciphertext(dd[:, :, None])  # [2, B, 1, k, N]
+            b = Ciphertext(wstack[:, None])  # [2, 1, R, k, N]
+            prod = bfv_eval.relinearize(ctx, bfv_eval.multiply(ctx, a, b), rk)
+            sums = helin.encrypted_vec_sum_log(ctx, prod, gks)  # [2, B, R, k, N]
+            sq = bfv_eval.relinearize(ctx, bfv_eval.square(ctx, sums), rk).data
+            q = ctx.tb_q.q
+            term = mont_mul(
+                sq[:, :, :, None], w2_mont[None, None], q, ctx.tb_q.qinv_neg
+            )  # [2, B, R, C, k, N]
+            term = jnp.where(w2_neg[None, None], neg_mod(term, q), term)
+            return tree_add_mod(term, q, axis=2)[:, :, 0]  # [2, B, C, k, N]
+
+        stack.__dict__["_jit_2fc_chunk"] = jax.jit(chunk_fn)
+    return stack.__dict__["_jit_2fc_chunk"]
+
+
 def csp_eval_2fc(
     stack: HHEStack,
     data_ct: Ciphertext,
@@ -316,37 +346,20 @@ def csp_eval_2fc(
     row_chunk bounds peak memory at production N: the R hidden rows are
     processed `row_chunk` at a time and the partial logit ciphertexts
     added (bit-identical to the single pass)."""
-    from ..ops.modular import add_mod, mont_mul, neg_mod
-
     ctx = stack.ctx
     w2 = np.asarray(w2, np.int64)
-    if row_chunk is not None and row_chunk < len(w1_cts):
-        acc = None
-        for s in range(0, len(w1_cts), row_chunk):
-            part = csp_eval_2fc(
-                stack, data_ct, w1_cts[s : s + row_chunk], w2[s : s + row_chunk]
-            )
-            acc = part if acc is None else bfv_eval.add(ctx, acc, part)
-        return acc
     dd = data_ct.data
     batched = dd.ndim == 4
     if not batched:
         dd = dd[:, None]  # [2, 1, k, N]
-    wstack = jnp.stack([w.data for w in w1_cts], axis=1)  # [2, R, k, N]
-    a = Ciphertext(dd[:, :, None])  # [2, B, 1, k, N]
-    b = Ciphertext(wstack[:, None])  # [2, 1, R, k, N]
-    prod = bfv_eval.relinearize(ctx, bfv_eval.multiply(ctx, a, b), stack.rk)
-    sums = helin.encrypted_vec_sum_log(ctx, prod, stack.gks)  # [2, B, R, k, N]
-    sq = bfv_eval.relinearize(ctx, bfv_eval.square(ctx, sums), stack.rk).data
-    # fc2: accumulate scalar-weighted rows per class
-    q = ctx.tb_q.q
-    w2_mont, w2_neg = _fc2_scalar_consts(ctx, w2)
-    R = sq.shape[2]
+    chunk = row_chunk if (row_chunk is not None and row_chunk < len(w1_cts)) else len(w1_cts)
+    fn = _jit_2fc_chunk(stack)
     acc = None
-    for r in range(R):
-        term = mont_mul(sq[:, :, r : r + 1], w2_mont[r][None, None], q, ctx.tb_q.qinv_neg)
-        term = jnp.where(w2_neg[r][None, None], neg_mod(term, q), term)
-        acc = term if acc is None else add_mod(acc, term, q)  # [2, B, C, k, N]
+    for s in range(0, len(w1_cts), chunk):
+        wstack = jnp.stack([w.data for w in w1_cts[s : s + chunk]], axis=1)
+        w2_mont, w2_neg = _fc2_scalar_consts(ctx, w2[s : s + chunk])
+        part = fn(dd, wstack, w2_mont, w2_neg, stack.rk, stack.gks)
+        acc = part if acc is None else bfv_eval.add(ctx, Ciphertext(acc), Ciphertext(part)).data
     logits = Ciphertext(acc if batched else acc[:, 0])
     return logits
 
