@@ -146,12 +146,28 @@ def csp_eval_1fc(
 ) -> Ciphertext:
     """Encrypted FC: data * weight (ct x ct), relinearize, optional
     rotate-reduce sum (reference CSP_hhe_pktnn_1fc::evaluateModel,
-    CSP.cpp:288-323; log-depth sum replaces the naive 299-rotation loop)."""
-    ctx = stack.ctx
-    prod = bfv_eval.relinearize(ctx, bfv_eval.multiply(ctx, data_ct, weight_ct), stack.rk)
-    if do_sum:
-        prod = helin.encrypted_vec_sum_log(ctx, prod, stack.gks)
-    return prod
+    CSP.cpp:288-323; log-depth sum replaces the naive 299-rotation loop).
+
+    Jitted into one device dispatch per (shape, do_sum) — the eager
+    composition cost ~30 per-op dispatches through the TPU tunnel."""
+    import jax
+
+    key = f"_jit_1fc_{do_sum}"
+    if stack.__dict__.get(key) is None:
+        ctx = stack.ctx
+
+        def fc_fn(dd, wd, rk, gks):
+            prod = bfv_eval.relinearize(
+                ctx, bfv_eval.multiply(ctx, Ciphertext(dd), Ciphertext(wd)), rk
+            )
+            if do_sum:
+                prod = helin.encrypted_vec_sum_log(ctx, prod, gks)
+            return prod.data
+
+        stack.__dict__[key] = jax.jit(fc_fn)
+    return Ciphertext(
+        stack.__dict__[key](data_ct.data, weight_ct.data, stack.rk, stack.gks)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -514,9 +530,7 @@ def hhe_ecg_full_inference(
                 if np.asarray(data_ct.data).ndim == 4
                 else weight_ct.data
             )
-            prod = bfv_eval.relinearize(
-                ctx, bfv_eval.multiply(ctx, data_ct, wct), stack.rk
-            )
+            prod = csp_eval_1fc(stack, data_ct, wct, do_sum=False)
         # result size metered per batched ct (one per sample on the wire)
         result_mb += metrics.he_vec_size(_split_batch(prod))
         with timer.phase("analyst"):
@@ -573,9 +587,7 @@ def hhe_ecg_inference(
     wct = Ciphertext(
         weight_ct.data[:, None] if np.asarray(data_ct.data).ndim == 4 else weight_ct.data
     )
-    prod = bfv_eval.relinearize(
-        ctx, bfv_eval.multiply(ctx, data_ct, wct), stack.rk
-    )
+    prod = csp_eval_1fc(stack, data_ct, wct, do_sum=False)
     _debug_noise(stack, prod, "encrypted weight product", run)
     preds = analyst_decrypt_sum_sigmoid(stack, prod, L)
     out = {"predictions": preds}
