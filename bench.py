@@ -41,7 +41,6 @@ import gc
 import json
 import math
 import os
-import pathlib
 import sys
 import time
 
@@ -425,7 +424,6 @@ def stage_mnist(detail, holder, mnist_b):
     t0 = time.time()
     logits_ct = run_2fc(nonce + 2000)
     mnist_s = time.time() - t0
-    m_nonce = nonce + 2000
     # parity vs plaintext mod-t (outside the timed region)
     logits = hi.decrypt_2fc_logits(stack, logits_ct)
     t = ctx.t

@@ -314,7 +314,7 @@ def _jit_2fc_chunk(stack: HHEStack):
         ctx = stack.ctx
 
         def chunk_fn(dd, wstack, w2_mont, w2_neg, rk, gks):
-            from ..ops.modular import add_mod, mont_mul, neg_mod, tree_add_mod
+            from ..ops.modular import mont_mul, neg_mod, tree_add_mod
 
             a = Ciphertext(dd[:, :, None])  # [2, B, 1, k, N]
             b = Ciphertext(wstack[:, None])  # [2, 1, R, k, N]
