@@ -549,7 +549,18 @@ def main():
                 _log(f"SKIP {name}: {_remaining():.0f}s left < {need_s}s needed")
             _emit()
             continue
-        status[name] = "running"
+        # pre-fill cached numbers BEFORE the live run: an external kill
+        # mid-stage then still leaves the latest in-round numbers (clearly
+        # flagged) in the last emitted line instead of a hole
+        cached = _load_results_cache().get(name)
+        if cached:
+            detail.update(cached["keys"])
+            status[name] = (
+                f"running (cached-in-round {cached['measured_at']} shown "
+                "until live numbers land)"
+            )
+        else:
+            status[name] = "running"
         _emit()
         before = dict(detail)
         try:
@@ -558,7 +569,9 @@ def main():
             _save_stage_result(name, _stage_keys(detail, before))
         except Exception as e:  # pragma: no cover — record, don't die
             detail[f"{name}_error"] = f"{type(e).__name__}: {e}"[:200]
-            status[name] = "error"
+            status[name] = "error" if not cached else (
+                f"error (cached-in-round {cached['measured_at']} values shown)"
+            )
         _emit()
 
 
