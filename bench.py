@@ -521,7 +521,7 @@ def main():
     # emitted BEFORE it runs, so an external kill leaves "running" in the
     # last JSON line instead of a silently-complete-looking artifact.
     status = detail["stage_status"] = {}
-    for name, fn, need_s in (
+    stages = (
         (
             "block_sync",
             lambda: stage_block_sync(detail, holder["stack"], holder["enc_key"], reps),
@@ -536,7 +536,18 @@ def main():
         ),
         ("mnist_2fc", lambda: stage_mnist(detail, holder, mnist_b), 150),
         ("large_preset_65536", lambda: stage_large_preset(detail, holder), 90),
-    ):
+    )
+    # pre-fill EVERY stage's latest in-round numbers up front (flagged):
+    # even a kill during an earlier stage then leaves later stages' numbers
+    # in the last emitted line instead of holes
+    results_cache = _load_results_cache()
+    for name, _, _ in stages:
+        cached = results_cache.get(name)
+        if cached:
+            detail.update(cached["keys"])
+            status[name] = f"pending (cached-in-round {cached['measured_at']})"
+    _emit()
+    for name, fn, need_s in stages:
         if _remaining() < need_s:
             detail["skipped"].append(name)
             cached = _load_results_cache().get(name)
