@@ -498,8 +498,32 @@ def main():
     detail = RESULT["detail"]
     detail.update({"n": n, "limbs": limbs, "device": str(jax.devices()[0])})
 
-    # ---- headline: batch-amortized transcipher throughput (always runs)
-    stack, enc_key, cipher, tput, nonce = stage_throughput(detail, n, limbs, reps)
+    # pre-fill the headline itself from the latest in-round run, flagged —
+    # a transient tunnel error during setup/warmup (observed:
+    # "/remote_compile: response body closed") must not leave the artifact
+    # with ZERO output (the round-2 lesson, resurrected by flaky transport)
+    hl = _load_results_cache().get("headline")
+    if hl:
+        detail.update(hl["keys"].get("detail", {}))
+        RESULT["value"] = hl["keys"].get("value")
+        RESULT["vs_baseline"] = hl["keys"].get("vs_baseline")
+        detail["headline_status"] = f"cached-in-round {hl['measured_at']}"
+        _emit()
+
+    # ---- headline: batch-amortized transcipher throughput (always runs;
+    # one retry for transient tunnel/transport errors)
+    for attempt in (0, 1):
+        try:
+            stack, enc_key, cipher, tput, nonce = stage_throughput(
+                detail, n, limbs, reps
+            )
+            break
+        except Exception as e:
+            detail["headline_error"] = f"{type(e).__name__}: {e}"[:300]
+            _emit()
+            if attempt:
+                raise
+            _log("headline stage failed; retrying once")
     # later stages read via the holder so stage_mnist can free this stack
     # (two production stacks do not fit HBM together)
     holder = {"stack": stack, "enc_key": enc_key}
@@ -510,6 +534,26 @@ def main():
     detail["baseline_note"] = (
         "baseline = reference C++ sequential per-block CPU time; value = "
         "batch-amortized device throughput at B=64 (keystream reuse)"
+    )
+    detail["headline_status"] = "ok"
+    _save_stage_result(
+        "headline",
+        {
+            "value": RESULT["value"],
+            "vs_baseline": RESULT["vs_baseline"],
+            "detail": {
+                k: detail[k]
+                for k in (
+                    "setup_s",
+                    "samples_per_s_by_batch",
+                    "tput_bench_s",
+                    "mxu_galois",
+                    "baseline_block_s",
+                    "baseline_note",
+                )
+                if k in detail
+            },
+        },
     )
     _emit()  # headline lands on stdout before anything slow can time out
 
