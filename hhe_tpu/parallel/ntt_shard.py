@@ -30,7 +30,7 @@ N=65536 preset (``SEAL_Cipher.cpp:47-68``) this sharded NTT backs *keygen*
 (``Context.keygen_public(mesh=...)``, exercised at the full 58-limb chain in
 ``tests/test_large_preset.py``), while the transcipher/evaluator keeps
 single-chip NTT tables.  Why: the measured single-chip keystream block at
-that degree is **322 ms** (8 limbs, BENCH_r04 ``large_preset`` stage) with
+that degree is **281 ms** (8 limbs, BENCH_r04 ``large_preset`` stage) with
 every per-limb transform only ~2 ms of it — the block is dominated by the
 same key-switch/permute work as the 16384 path, not by any one transform.
 Sharding the polynomial axis would put TWO all_to_all transposes of the

@@ -154,13 +154,31 @@ class CSP:
             input_len = st.input_len
         self._log(f"evaluating {len(cts)} cts (input_len={input_len})")
         out = []
+        fn = self._jit_eval(st)
         with self.timer.phase("csp"):
             for ct in cts:
-                prod = bfv_eval.relinearize(
-                    self.ctx, bfv_eval.multiply(self.ctx, ct, st.weight_cts[0]), st.rk
+                out.append(
+                    bfv.Ciphertext(fn(ct.data, st.weight_cts[0].data, st.rk, st.gks))
                 )
-                out.append(helin.encrypted_vec_sum_log(self.ctx, prod, st.gks))
         return out
+
+    def _jit_eval(self, st: AnalystState):
+        """One jitted program per analyst for the per-ct evaluation
+        (multiply + relinearize + log-depth vec-sum): the eager composition
+        issued ~30 per-op device dispatches per ciphertext."""
+        import jax
+
+        if st.__dict__.get("_jit_eval_fn") is None:
+            ctx = self.ctx
+
+            def fn(dd, wd, rk, gks):
+                prod = bfv_eval.relinearize(
+                    ctx, bfv_eval.multiply(ctx, bfv.Ciphertext(dd), bfv.Ciphertext(wd)), rk
+                )
+                return helin.encrypted_vec_sum_log(ctx, prod, gks).data
+
+            st.__dict__["_jit_eval_fn"] = jax.jit(fn)
+        return st.__dict__["_jit_eval_fn"]
 
 
 class CSPServer:
