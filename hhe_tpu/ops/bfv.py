@@ -109,11 +109,17 @@ class Context:
         # `t` may itself be a 31-bit NTT prime (e.g. 2147352577 for the
         # overflow-free 2FC pipeline) — exclude it from every prime pool.
         tskip = (p.t,)
-        self.q_moduli = primes.ntt_primes(
-            p.n, p.data_limb_bits, p.data_limbs, skip=tskip
-        )
-        sp = primes.ntt_primes(p.n, 31, 1, skip=tskip)
+        # The special prime takes the LARGEST prime at the data-limb width
+        # (p >= every q_i, SEAL's convention) rather than a 31-bit one: with
+        # every modulus of q ∪ P below 2^30 the hot key-switch NTTs run the
+        # Harvey lazy-reduction Pallas kernels (ntt_pallas: 56 vs 47 G
+        # butterflies/s measured).  Costs ~1 bit of key-switch noise vs a
+        # 31-bit P — well inside the chain's margins (tested).
+        sp = primes.ntt_primes(p.n, p.data_limb_bits, 1, skip=tskip)
         self.p_special = sp[0]
+        self.q_moduli = primes.ntt_primes(
+            p.n, p.data_limb_bits, p.data_limbs, skip=tskip + sp
+        )
         aux_count = p.data_limbs + 1
         b_moduli = primes.ntt_primes(p.n, 31, aux_count + 2, skip=sp + tskip)
         self.b_moduli = b_moduli[:aux_count]
@@ -538,6 +544,95 @@ class Context:
         num = xc * self.t
         m = (num + (base.Q // 2)) // base.Q  # floor((tx + Q/2)/Q), exact round
         return Plaintext((m % self.t).astype(np.uint64))
+
+    def decrypt_batch(self, sk: SecretKey, ct: Ciphertext) -> np.ndarray:
+        """Batched decrypt of a [size, B, k, N] ciphertext -> [B, N] mod t.
+
+        The reference decrypts one ciphertext at a time on the CPU
+        (``Analyst.cpp:352-381`` / SEAL ``decryptor.h``); at dataset scale
+        (13,245 MIT-BIH results) a per-sample loop of host CRT composes is
+        the bottleneck.  TPU-native split instead:
+
+        - [c0 + c1 s]_q for the WHOLE batch in one jitted device program
+          (NTT multiply per limb);
+        - the t/Q scale-and-round in exact vectorized u64 fixed point
+          (SEAL RNSTool::decrypt_scale_and_round semantics, no bignums):
+          with u_i = [x_i (Q/q_i)^{-1}]_{q_i},
+          m = [sum_i floor(t u_i / q_i) + round(sum_i (t u_i mod q_i)/q_i)]_t
+          (the -A*t*Q/Q term vanishes mod t).  The fractional sum is
+          accumulated in 2^40 fixed point — exact for any ciphertext with
+          >= 1 bit of noise budget (the fraction is then >= 1/4 away from
+          the 1/2 boundary, vs 2^-40 accumulation error).
+
+        Bit-identical to ``decrypt`` + ``decode`` per sample (tested)."""
+        import jax
+
+        cd = ct.data
+        size = cd.shape[0]
+        assert cd.ndim == 4 and size in (2, 3), cd.shape
+        kc = cd.shape[2]
+        assert kc == self.k, "decrypt_batch supports full-level cts only"
+        if not hasattr(self, "_dec_batch_jit"):
+            from .modular import add_mod, mont_mul
+
+            q, qi = self.tb_q.q, self.tb_q.qinv_neg
+
+            def dot(c, s_nm, s2_nm):
+                f1 = ntt.ntt_fwd(c[1], self.tb_q)
+                g = mont_mul(f1, s_nm, q, qi)
+                if c.shape[0] == 3:
+                    f2 = ntt.ntt_fwd(c[2], self.tb_q)
+                    g = add_mod(g, mont_mul(f2, s2_nm, q, qi), q)
+                return add_mod(c[0], ntt.ntt_inv(g, self.tb_q), q)
+
+            self._dec_batch_jit = jax.jit(dot)
+            self._dec_sk_cache: Dict[int, tuple] = {}
+        skk = id(sk)
+        if skk not in self._dec_sk_cache:
+            from .modular import to_mont_host
+
+            s = np.asarray(sk.s_q, np.uint64)  # [k, N] coeff domain
+            s_nm, s2_nm = [], []
+            for i, qm in enumerate(self.q_moduli):
+                qm = int(qm)
+                htb = ntt.build_host_tables(qm, self.n)
+                f = ntt.ntt_fwd_host(s[i], htb)
+                s_nm.append(to_mont_host(f, qm))
+                s2_nm.append(
+                    to_mont_host((f * f) % np.uint64(qm), qm)
+                )  # NTT(s^2) = NTT(s)^2 pointwise
+            s_nm, s2_nm = np.stack(s_nm), np.stack(s2_nm)
+            # keep at most one cached key transform (keys rarely rotate)
+            self._dec_sk_cache = {
+                skk: (jnp.asarray(s_nm), jnp.asarray(s2_nm))
+            }
+        s_nm, s2_nm = self._dec_sk_cache[skk]
+        x = np.asarray(self._dec_batch_jit(cd, s_nm, s2_nm), np.uint64)  # [B,k,N]
+
+        t = np.uint64(self.t)
+        FP = 40  # fixed-point fraction bits
+        int_sum = np.zeros((x.shape[0], x.shape[2]), np.uint64)
+        frac_sum = np.zeros_like(int_sum)
+        for i, qm in enumerate(self.q_moduli):
+            qq = np.uint64(qm)
+            w = np.uint64(self.base_q.inv[i])  # (Q/q_i)^{-1} mod q_i
+            u = (x[:, i] * w) % qq  # < 2^61, exact in u64
+            a = t * u  # < 2^48
+            int_sum += a // qq
+            r = a % qq
+            kq, rq = np.uint64((1 << FP) // qm), np.uint64((1 << FP) % qm)
+            frac_sum += r * kq + (r * rq) // qq  # exact floor(r*2^FP/q)
+        m = int_sum + ((frac_sum + np.uint64(1 << (FP - 1))) >> np.uint64(FP))
+        return m % t
+
+    def decode_batch(self, m: np.ndarray) -> np.ndarray:
+        """[B, N] plaintext polys mod t -> [B, N] slot values (vectorized)."""
+        slots = ntt.ntt_fwd_host(np.asarray(m, np.uint64), self.tb_t_host)
+        return slots[:, self.encoder_map].astype(np.uint64)
+
+    def decode_signed_batch(self, m: np.ndarray) -> np.ndarray:
+        v = self.decode_batch(m).astype(np.int64)
+        return np.where(v > self.t // 2, v - self.t, v)
 
     def noise_budget(self, sk: SecretKey, ct: Ciphertext) -> int:
         """Invariant noise budget in bits (SEAL Decryptor::invariant_noise_budget):

@@ -91,6 +91,20 @@ def mont_mul(a, b_mont, q, qinv_neg):
     return jnp.where(t >= q, t - q, t)
 
 
+def mont_mul_lazy(a, b_mont, q, qinv_neg):
+    """Montgomery product WITHOUT the final conditional subtract: returns
+    a * b_mont * 2^-32 mod q in [0, 2q) (Harvey lazy form, cf. SEAL
+    ``seal/util/ntt.h:195-251`` which keeps NTT intermediates in [0, 4q)).
+
+    Requires a*b_mont < q*2^32 — with b_mont < q this admits any a < 2^32,
+    in particular lazy values in [0, 4q) when q < 2^30."""
+    hi, lo = mul32_wide(a, b_mont)
+    m = lo * qinv_neg  # mod 2^32 (u32 wraparound)
+    mhi, _ = mul32_wide(m, q)
+    carry = (lo != 0).astype(U32)
+    return hi + mhi + carry  # < 2q
+
+
 def add_mod(a, b, q):
     s = a + b  # both < q < 2^31 -> no overflow
     return jnp.where(s >= q, s - q, s)

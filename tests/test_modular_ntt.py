@@ -144,9 +144,14 @@ def test_pallas_ntt_matches_butterfly():
 
     from hhe_tpu.ops import ntt_pallas
 
-    for n in (256, 2048):
-        mods = primes.ntt_primes(n, 30, 2)
+    # 30-bit moduli exercise the Harvey lazy-reduction kernels; adding a
+    # 31-bit modulus forces the eager kernels (lazy requires 4q < 2^32)
+    for n, bits in ((256, 30), (2048, 30), (2048, 31)):
+        mods = primes.ntt_primes(n, bits, 2)
         tb = ntt.build_tables(mods, n)
+        from hhe_tpu.ops import ntt_pallas as _np_mod
+
+        assert _np_mod._build(mods, n, False).lazy == (bits == 30)
         rng = np.random.default_rng(8)
         x = jnp.asarray(
             np.stack(

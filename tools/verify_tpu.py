@@ -37,6 +37,13 @@ def main():
     jax.block_until_ready(out)
     print(f"first call (compile+run): {time.perf_counter()-t0:.2f}s", flush=True)
 
+    # drain any residual post-load transfer backlog before timing (observed:
+    # the first reps after a cache-load absorb ~10 s of in-flight tunnel
+    # work, inflating the sync average ~8x)
+    for _ in range(2):
+        out = tc._jit_keystream(enc_key.data, mats_pt, rcs_pt, tc._keys())
+        jax.block_until_ready(out)
+
     # honest timing: each rep materializes a scalar from the result
     reps = 10
     t0 = time.perf_counter()
