@@ -19,7 +19,7 @@ All functions are pure and jittable; `Context` supplies precomputed constants.
 
 from __future__ import annotations
 
-from typing import Dict, NamedTuple, Tuple
+from typing import Dict, NamedTuple, Optional, Tuple
 
 import numpy as np
 import jax
@@ -231,11 +231,44 @@ def mod_down(ctx: Context, c: jnp.ndarray) -> jnp.ndarray:
     return mont_mul(sub_mod(c[..., :-1, :], fix, ec.q), ec.p_inv_mont, ec.q, ec.qi)
 
 
-def keyswitch(ctx: Context, poly_q: jnp.ndarray, ksk: KSwitchKey) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def keyswitch(
+    ctx: Context,
+    poly_q: jnp.ndarray,
+    ksk: KSwitchKey,
+    digit_chunk: Optional[int] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """poly_q [k, N] coeff mod q -> (d0, d1) [k, N] coeff mod q such that
-    d0 + d1*s ~= poly * target (+ small noise)."""
-    fd = hoist_digits(ctx, poly_q)
-    acc0, acc1 = hoisted_ks_products(ctx, fd, ksk)
+    d0 + d1*s ~= poly * target (+ small noise).
+
+    ``digit_chunk`` processes the kd decomposition digits in groups of that
+    size, bounding the hoisted-digit temporary to
+    [..., digit_chunk, k+1, N] instead of [..., kd, k+1, N] — modular adds
+    are exact so the regrouped accumulation is bit-identical.  This is what
+    lets batched relinearizations (fc1 at B>=16) fit HBM (round-4 verdict
+    item 5: the unchunked hoist was ~300 MB per temporary at 16 limbs and
+    B=8 already exhausted the chip)."""
+    from .modular import tree_add_mod
+
+    if digit_chunk is None or digit_chunk >= ctx.k:
+        fd = hoist_digits(ctx, poly_q)
+        acc0, acc1 = hoisted_ks_products(ctx, fd, ksk)
+    else:
+        pq = ctx.tb_qp.q
+        qp, qpi = ctx.tb_qp.q, ctx.tb_qp.qinv_neg
+        acc0 = acc1 = None
+        for s in range(0, ctx.k, digit_chunk):
+            e = min(s + digit_chunk, ctx.k)
+            digs = jnp.stack(
+                [reduce_u32(poly_q[..., j : j + 1, :], pq) for j in range(s, e)],
+                axis=-3,
+            )
+            fd = ntt.ntt_fwd(digs, ctx.tb_qp)  # [..., e-s, k+1, N]
+            t0 = mont_mul(fd, ksk.k0[s:e], qp, qpi)
+            t1 = mont_mul(fd, ksk.k1[s:e], qp, qpi)
+            p0 = tree_add_mod(t0, qp, axis=-3)[..., 0, :, :]
+            p1 = tree_add_mod(t1, qp, axis=-3)[..., 0, :, :]
+            acc0 = p0 if acc0 is None else add_mod(acc0, p0, qp)
+            acc1 = p1 if acc1 is None else add_mod(acc1, p1, qp)
     c0 = ntt.ntt_inv(acc0, ctx.tb_qp)
     c1 = ntt.ntt_inv(acc1, ctx.tb_qp)
     return mod_down(ctx, c0), mod_down(ctx, c1)
@@ -264,11 +297,19 @@ def rotate_columns(ctx: Context, ct: Ciphertext, gks: Dict[int, KSwitchKey]) -> 
     return apply_galois(ctx, ct, g, gks[g])
 
 
-def relinearize(ctx: Context, ct: Ciphertext, rk: KSwitchKey) -> Ciphertext:
-    """Size-3 -> size-2 using the relin key (target s^2)."""
+def relinearize(
+    ctx: Context,
+    ct: Ciphertext,
+    rk: KSwitchKey,
+    digit_chunk: Optional[int] = None,
+) -> Ciphertext:
+    """Size-3 -> size-2 using the relin key (target s^2).
+
+    ``digit_chunk``: see ``keyswitch`` — bounds the hoist temporary for
+    large batched relinearizations, bit-identically."""
     assert ct.size == 3
     q = ctx.tb_q.q
-    d0, d1 = keyswitch(ctx, ct.data[2], rk)
+    d0, d1 = keyswitch(ctx, ct.data[2], rk, digit_chunk=digit_chunk)
     return Ciphertext(
         jnp.stack([add_mod(ct.data[0], d0, q), add_mod(ct.data[1], d1, q)])
     )

@@ -182,18 +182,35 @@ def _split_batch(ct: Ciphertext) -> List[Ciphertext]:
     return [Ciphertext(jnp.asarray(data[:, i])) for i in range(data.shape[1])]
 
 
+def _decrypt_signed_slots(stack: HHEStack, result_ct: Ciphertext) -> np.ndarray:
+    """Decrypt a (possibly batched) result ct to [B, N] signed slot values.
+
+    Full-level batched cts take the vectorized path
+    (``Context.decrypt_batch``: one device program + exact u64 fixed-point
+    scale-and-round — at dataset scale the reference's per-sample decrypt
+    loop is the analyst-side bottleneck); anything else falls back to the
+    per-sample host decrypt.  Bit-identical either way (tested)."""
+    ctx = stack.ctx
+    data = np.asarray(result_ct.data)
+    if data.ndim == 4 and data.shape[2] == ctx.k:
+        m = ctx.decrypt_batch(stack.sk, Ciphertext(jnp.asarray(data)))
+        return ctx.decode_signed_batch(m)
+    return np.stack(
+        [
+            ctx.decode_signed(ctx.decrypt(stack.sk, ct))
+            for ct in _split_batch(result_ct)
+        ]
+    )
+
+
 def analyst_decrypt_sum_sigmoid(
     stack: HHEStack, result_ct: Ciphertext, length: int
 ) -> np.ndarray:
     """ECG pipeline: decrypt, host-sum `length` slots, simple_pocket_sigmoid,
     threshold > 64 -> prediction in {0, 128} (hhe_pktnn_examples.cpp:305-335)."""
-    preds = []
-    for ct in _split_batch(result_ct):
-        dec = stack.ctx.decode_signed(stack.ctx.decrypt(stack.sk, ct))[:length]
-        s = int(dec.sum())
-        out = int(pocketnn.simple_pocket_sigmoid(s))
-        preds.append(128 if out > 64 else 0)
-    return np.asarray(preds)
+    slots = _decrypt_signed_slots(stack, result_ct)[:, :length]
+    out = np.asarray(pocketnn.simple_pocket_sigmoid(slots.sum(1)))
+    return np.where(out > 64, 128, 0)
 
 
 def analyst_decrypt_slot_sigmoid(
@@ -202,13 +219,9 @@ def analyst_decrypt_slot_sigmoid(
     """SpO2/1fc pipeline: decrypt, read slot input_len-1, int_sigmoid
     (reference Analyst::decryptData, Analyst.cpp:352-381).
     Returns (raw fc outputs, predictions)."""
-    raws, preds = [], []
-    for ct in _split_batch(result_ct):
-        dec = stack.ctx.decode_signed(stack.ctx.decrypt(stack.sk, ct))
-        v = int(dec[input_len - 1])
-        raws.append(v)
-        preds.append(int(pocketnn.int_sigmoid(v)))
-    return np.asarray(raws), np.asarray(preds)
+    raw = _decrypt_signed_slots(stack, result_ct)[:, input_len - 1]
+    preds = np.asarray([int(pocketnn.int_sigmoid(int(v))) for v in raw])
+    return raw.astype(np.int64), preds
 
 
 # ---------------------------------------------------------------------------
@@ -302,15 +315,19 @@ def _fc2_scalar_consts(ctx: Context, w2: np.ndarray) -> Tuple[jnp.ndarray, jnp.n
     return jnp.asarray(mont), jnp.asarray((w2 < 0)[:, :, None, None])
 
 
-def _jit_2fc_chunk(stack: HHEStack):
+def _jit_2fc_chunk(stack: HHEStack, digit_chunk: Optional[int] = None):
     """One jitted program for a (data x weight-chunk) 2FC pass: BEHZ
     multiply + relinearize + log-depth vec-sum + square + the small-norm
     fc2 partial, all in a single device dispatch.  The previous eager
     composition issued hundreds of per-op dispatches through the TPU
-    tunnel (measured: minutes per batch at production N)."""
+    tunnel (measured: minutes per batch at production N).
+
+    digit_chunk bounds the relinearize hoist temporaries (bit-identical;
+    see bfv_eval.keyswitch) so larger sample batches fit HBM."""
     import jax
 
-    if stack.__dict__.get("_jit_2fc_chunk") is None:
+    jkey = f"_jit_2fc_chunk_{digit_chunk}"
+    if stack.__dict__.get(jkey) is None:
         ctx = stack.ctx
 
         def chunk_fn(dd, wstack, w2_mont, w2_neg, rk, gks):
@@ -318,9 +335,13 @@ def _jit_2fc_chunk(stack: HHEStack):
 
             a = Ciphertext(dd[:, :, None])  # [2, B, 1, k, N]
             b = Ciphertext(wstack[:, None])  # [2, 1, R, k, N]
-            prod = bfv_eval.relinearize(ctx, bfv_eval.multiply(ctx, a, b), rk)
+            prod = bfv_eval.relinearize(
+                ctx, bfv_eval.multiply(ctx, a, b), rk, digit_chunk=digit_chunk
+            )
             sums = helin.encrypted_vec_sum_log(ctx, prod, gks)  # [2, B, R, k, N]
-            sq = bfv_eval.relinearize(ctx, bfv_eval.square(ctx, sums), rk).data
+            sq = bfv_eval.relinearize(
+                ctx, bfv_eval.square(ctx, sums), rk, digit_chunk=digit_chunk
+            ).data
             q = ctx.tb_q.q
             term = mont_mul(
                 sq[:, :, :, None], w2_mont[None, None], q, ctx.tb_q.qinv_neg
@@ -328,8 +349,8 @@ def _jit_2fc_chunk(stack: HHEStack):
             term = jnp.where(w2_neg[None, None], neg_mod(term, q), term)
             return tree_add_mod(term, q, axis=2)[:, :, 0]  # [2, B, C, k, N]
 
-        stack.__dict__["_jit_2fc_chunk"] = jax.jit(chunk_fn)
-    return stack.__dict__["_jit_2fc_chunk"]
+        stack.__dict__[jkey] = jax.jit(chunk_fn)
+    return stack.__dict__[jkey]
 
 
 def csp_eval_2fc(
@@ -338,6 +359,7 @@ def csp_eval_2fc(
     w1_cts: List[Ciphertext],
     w2: np.ndarray,
     row_chunk: Optional[int] = None,
+    digit_chunk: Optional[int] = None,
 ) -> Ciphertext:
     """Encrypted 2FC forward (completes the reference's TODO,
     ``hhe_pktnn_examples.cpp:993-997``):
@@ -369,7 +391,7 @@ def csp_eval_2fc(
     if not batched:
         dd = dd[:, None]  # [2, 1, k, N]
     chunk = row_chunk if (row_chunk is not None and row_chunk < len(w1_cts)) else len(w1_cts)
-    fn = _jit_2fc_chunk(stack)
+    fn = _jit_2fc_chunk(stack, digit_chunk=digit_chunk)
     acc = None
     for s in range(0, len(w1_cts), chunk):
         wstack = jnp.stack([w.data for w in w1_cts[s : s + chunk]], axis=1)
@@ -407,6 +429,7 @@ def hhe_2fc_inference(
     via_transcipher: bool = True,
     check_parity: bool = True,
     row_chunk: Optional[int] = None,
+    digit_chunk: Optional[int] = None,
     run: Optional[RunConfig] = None,
 ) -> Dict[str, np.ndarray]:
     """MNIST/FMNIST-style 784 -> R -> 10 encrypted inference with square
@@ -439,7 +462,9 @@ def hhe_2fc_inference(
         data_ct = Ciphertext(jnp.asarray(data))  # [2, B, k, N]
 
     _debug_noise(stack, data_ct, "decomposition+flatten", run)
-    logits_ct = csp_eval_2fc(stack, data_ct, w1_cts, w2, row_chunk=row_chunk)
+    logits_ct = csp_eval_2fc(
+        stack, data_ct, w1_cts, w2, row_chunk=row_chunk, digit_chunk=digit_chunk
+    )
     _debug_noise(stack, logits_ct, "2FC eval", run)
     logits = decrypt_2fc_logits(stack, logits_ct)
     preds = logits.argmax(1)
@@ -464,7 +489,8 @@ ECG_WEIGHT_CSV = "/root/reference/weights/ecg/ecg_512/fc1_weight_50epochs_bz4.cs
 def hhe_ecg_full_inference(
     stack: HHEStack,
     weight_path: str = ECG_WEIGHT_CSV,
-    batch: int = 1024,
+    batch: int = 512,
+    eval_batch: int = 64,
     seed: int = 0,
     run: Optional[RunConfig] = None,
 ) -> Dict[str, object]:
@@ -519,24 +545,42 @@ def hhe_ecg_full_inference(
         metrics.he_key_size(stack.rk, stack.gks) + metrics.he_vec_size([weight_ct]),
     )
 
+    # pad the sample count to a batch multiple so every device program runs
+    # at ONE static shape (a ragged tail chunk would force a fresh compile
+    # per distinct shape through the tunnel); padded rows are discarded
+    pad = (-n) % batch
+    sym_p = np.concatenate([sym, sym[:pad]], axis=0) if pad else sym
+    eval_batch = min(eval_batch, batch)
     preds = []
     result_mb = 0.0
-    for s in range(0, n, batch):
-        chunk = sym[s : s + batch]
+    for s in range(0, len(sym_p), batch):
+        chunk = sym_p[s : s + batch]
         with timer.phase("csp"):
             data_ct = csp_decompose(stack, enc_key, chunk)
+            dd = data_ct.data
             wct = Ciphertext(
-                weight_ct.data[:, None]
-                if np.asarray(data_ct.data).ndim == 4
-                else weight_ct.data
+                weight_ct.data[:, None] if dd.ndim == 4 else weight_ct.data
             )
-            prod = csp_eval_1fc(stack, data_ct, wct, do_sum=False)
-        # result size metered per batched ct (one per sample on the wire)
-        result_mb += metrics.he_vec_size(_split_batch(prod))
-        with timer.phase("analyst"):
-            preds.extend(analyst_decrypt_sum_sigmoid(stack, prod, transcipher.T))
-    ledger.add("analyst-csp", result_mb)
-    preds = np.asarray(preds)
+            # the ct x ct weight product + relinearize is evaluated in
+            # eval_batch sub-slices: BEHZ + key-switch temporaries scale
+            # with the batch, and 512-sample slices exceed HBM at
+            # production N
+            prods = [
+                csp_eval_1fc(
+                    stack, Ciphertext(dd[:, e : e + eval_batch]), wct, do_sum=False
+                )
+                for e in range(0, chunk.shape[0], eval_batch)
+            ]
+        for prod in prods:
+            # result size metered per batched ct (one per sample on the wire)
+            result_mb += metrics.he_vec_size(_split_batch(prod))
+            with timer.phase("analyst"):
+                preds.extend(
+                    analyst_decrypt_sum_sigmoid(stack, prod, transcipher.T)
+                )
+    # meter only the n real samples (padded rows never cross the wire)
+    ledger.add("analyst-csp", result_mb * (n / len(sym_p)))
+    preds = np.asarray(preds)[:n]
 
     # encrypted-vs-plaintext agreement (the reference's parity contract)
     sums = (x.astype(np.int64) * w).sum(1)

@@ -218,3 +218,37 @@ def test_cipher_size_levels_from_last_semantics(ctx, keys):
     assert mb_full * 2.5 / 4 < mb3 < mb_full * 3.5 / 4
     # clamping: levels_from_last beyond the chain leaves the ct untouched
     assert metrics.cipher_size(ctx, ct, mod_switch=True, levels_from_last=9) == mb_full
+
+
+def test_decrypt_batch_bit_identical(ctx, keys):
+    """Vectorized batched decrypt (device c(s) product + exact u64
+    fixed-point scale-and-round) == per-sample decrypt+decode, including a
+    size-3 (unrelinearized) ciphertext.  Backs the analyst-side decrypt at
+    dataset scale (reference decrypts per sample, Analyst.cpp:352-381)."""
+    import jax.numpy as jnp
+
+    sk, pk = keys
+    rng = np.random.default_rng(11)
+    B = 4
+    cts = [
+        np.asarray(
+            ctx.encrypt(pk, ctx.encode(rng.integers(-200, 200, ctx.n))).data
+        )
+        for _ in range(B)
+    ]
+    batch = bfv.Ciphertext(jnp.asarray(np.stack(cts, axis=1)))  # [2, B, k, N]
+    slots = ctx.decode_signed_batch(ctx.decrypt_batch(sk, batch))
+    for i in range(B):
+        ref = ctx.decode_signed(ctx.decrypt(sk, bfv.Ciphertext(jnp.asarray(cts[i]))))
+        assert np.array_equal(slots[i], ref)
+    # size-3 ct (pre-relinearization product)
+    prod = bfv_eval.multiply(
+        ctx,
+        bfv.Ciphertext(jnp.asarray(cts[0])[:, None]),
+        bfv.Ciphertext(jnp.asarray(cts[1])[:, None]),
+    )
+    got = ctx.decode_signed_batch(ctx.decrypt_batch(sk, prod))[0]
+    ref = ctx.decode_signed(
+        ctx.decrypt(sk, bfv.Ciphertext(jnp.asarray(np.asarray(prod.data)[:, 0])))
+    )
+    assert np.array_equal(got, ref)
