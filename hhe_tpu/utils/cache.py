@@ -46,5 +46,14 @@ def _force_cache_on_axon() -> None:
         with cc._cache_initialized_mutex:
             cc._cache_checked = True
             cc._cache_used = True
-    except Exception:  # pragma: no cover — best-effort, never fatal
-        pass
+    except Exception as e:  # pragma: no cover — best-effort, never fatal
+        # LOUD degradation (advisor round-4): a jax upgrade renaming these
+        # private attrs would silently reintroduce ~400 s of remote compile
+        # per process; tests/test_utils.py asserts the attrs exist.
+        import warnings
+
+        warnings.warn(
+            f"hhe_tpu.utils.cache: could not force the persistent compile "
+            f"cache on the axon backend ({type(e).__name__}: {e}); expect "
+            f"full remote compiles (~minutes per graph)."
+        )

@@ -132,6 +132,46 @@ def test_sharded_transcipher_hot_path_bitexact():
     assert np.array_equal(np.asarray(out_plain.data), np.asarray(out_sh.data))
 
 
+@pytest.mark.slow
+def test_sharded_full_decompose_decrypt_parity():
+    """Full-depth sharded end-to-end (advisor round-4: the fast one-round
+    test above must not be the ONLY sharded coverage): the complete 4-round
+    csp_decompose at a noise-complete 14-limb chain, keystream limb-sharded
+    and finish batch-sharded over the ("batch", "limb") mesh, must be
+    bit-identical to the unsharded run AND decrypt back to the plaintext
+    samples (the reference parity contract, hhe_pktnn_examples.cpp:638-648)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from hhe_tpu.ops import pasta
+    from hhe_tpu.workloads import hhe_inference as wk
+
+    mesh = hmesh.make_hhe_mesh(8, limb_shards=2)
+    stack = wk.build_stack(
+        bfv.BFVParams(n=2048, data_limbs=14, seed=6), input_len=128
+    )
+    ctx, tc = stack.ctx, stack.tc
+    rng = np.random.default_rng(9)
+    B, L = 8, 128
+    x = rng.integers(0, ctx.t, (B, L)).astype(np.uint64)
+    key = pasta.get_fixed_symmetric_key()
+    cipher = pasta.Pasta(key, ctx.t)
+    sym = cipher.encrypt(x)
+    enc_key = tc.encrypt_key(stack.pk, key)
+
+    data_plain = wk.csp_decompose(stack, enc_key, sym)
+
+    tc.clear_caches()  # force the sharded run to re-evaluate the keystream
+    enc_key_sh = bfv.Ciphertext(
+        jax.device_put(enc_key.data, NamedSharding(mesh, P(None, "limb", None)))
+    )
+    data_sh = wk.csp_decompose(stack, enc_key_sh, sym, mesh=mesh)
+
+    assert np.array_equal(np.asarray(data_plain.data), np.asarray(data_sh.data))
+    # decrypt parity vs the plaintext inputs, via the batched decrypt
+    slots = ctx.decode_batch(ctx.decrypt_batch(stack.sk, data_sh))
+    assert np.array_equal(slots[:, :L], x)
+
+
 def test_sharded_ntt_poly_axis():
     """Four-step NTT with the polynomial coefficient axis sharded over an
     8-device `poly` mesh axis (all_to_all transposes on the ICI): roundtrip

@@ -77,3 +77,17 @@ def test_serial_zlib_container():
     vec = serial.dump_ciphertext_vec([ct, ct])
     back = serial.load_ciphertext_vec(serial.compress(vec))
     assert len(back) == 2
+
+
+def test_compile_cache_force_attrs_exist():
+    """The axon compile-cache force-enable patches jax private internals
+    (jax._src.compilation_cache._cache_checked/_cache_used under the init
+    mutex); a jax upgrade renaming them would silently reintroduce ~400 s
+    of remote compile per process (advisor round-4 finding).  Pin the
+    contract here so a jax bump fails loudly instead."""
+    from jax._src import compilation_cache as cc
+
+    assert hasattr(cc, "_cache_initialized_mutex")
+    assert hasattr(cc, "_cache_checked")
+    assert hasattr(cc, "_cache_used")
+    assert callable(cc._is_cache_enabled)
