@@ -555,14 +555,17 @@ class Context:
 
         - [c0 + c1 s]_q for the WHOLE batch in one jitted device program
           (NTT multiply per limb);
-        - the t/Q scale-and-round in exact vectorized u64 fixed point
+        - the t/Q scale-and-round ON DEVICE in the same program
           (SEAL RNSTool::decrypt_scale_and_round semantics, no bignums):
           with u_i = [x_i (Q/q_i)^{-1}]_{q_i},
           m = [sum_i floor(t u_i / q_i) + round(sum_i (t u_i mod q_i)/q_i)]_t
-          (the -A*t*Q/Q term vanishes mod t).  The fractional sum is
-          accumulated in 2^40 fixed point — exact for any ciphertext with
-          >= 1 bit of noise budget (the fraction is then >= 1/4 away from
-          the 1/2 boundary, vs 2^-40 accumulation error).
+          (the -A*t*Q/Q term vanishes mod t).  Integer parts are exact in
+          u32 (quotients < t; division by q_i via its mod-2^32 inverse);
+          the fractional sum accumulates in f32, error <= k*2^-22 vs the
+          >= 1/4 rounding margin any ciphertext with >= 1 bit of noise
+          budget guarantees.  Only [B, N] u32 returns to the host (the
+          former host loop pulled the full [B, k, N] limb tensor through
+          the tunnel and was the analyst-side bottleneck at dataset scale).
 
         Bit-identical to ``decrypt`` + ``decode`` per sample (tested)."""
         import jax
@@ -576,6 +579,23 @@ class Context:
             from .modular import add_mod, mont_mul
 
             q, qi = self.tb_q.q, self.tb_q.qinv_neg
+            t_int = int(self.t)
+            # per-limb scale-and-round constants (device, [k, 1]):
+            #   wm = (Q/q_i)^{-1} R mod q_i,  tm = t R mod q_i,
+            #   qinv32 = q_i^{-1} mod 2^32 (exact-division multiplier)
+            wm = np.array(
+                [(int(w) << 32) % int(qm)
+                 for w, qm in zip(self.base_q.inv, self.q_moduli)],
+                np.uint32,
+            )[:, None]
+            tm = np.array(
+                [(t_int << 32) % int(qm) for qm in self.q_moduli], np.uint32
+            )[:, None]
+            qinv32 = np.array(
+                [pow(int(qm), -1, 1 << 32) for qm in self.q_moduli], np.uint32
+            )[:, None]
+            qf = np.array(self.q_moduli, np.float32)[:, None]
+            wm, tm, qinv32, qf = map(jnp.asarray, (wm, tm, qinv32, qf))
 
             def dot(c, s_nm, s2_nm):
                 f1 = ntt.ntt_fwd(c[1], self.tb_q)
@@ -583,7 +603,25 @@ class Context:
                 if c.shape[0] == 3:
                     f2 = ntt.ntt_fwd(c[2], self.tb_q)
                     g = add_mod(g, mont_mul(f2, s2_nm, q, qi), q)
-                return add_mod(c[0], ntt.ntt_inv(g, self.tb_q), q)
+                x = add_mod(c[0], ntt.ntt_inv(g, self.tb_q), q)  # [B, k, N]
+                # t/Q scale-and-round ON DEVICE (the former host loop moved
+                # ~1 GB per 512-batch through the tunnel and dominated the
+                # analyst at dataset scale).  Per limb, with
+                # u_i = [x_i (Q/q_i)^{-1}]_{q_i}:  t*u_i = q_i*quot + r_i,
+                # quot exactly via the mod-2^32 inverse (quot < t fits u32),
+                # r_i/q_i accumulated in f32 — error <= k*2^-22, vs the
+                # >=1/4 rounding margin any ciphertext with >=1 bit of
+                # noise budget guarantees.
+                u = mont_mul(x, wm, q, qi)
+                r = mont_mul(u, tm, q, qi)
+                a_lo = jnp.uint32(t_int) * u  # low 32 bits of t*u
+                quot = (a_lo - r) * qinv32  # exact (t*u - r)/q_i
+                int_sum = jnp.sum(quot, axis=-2, dtype=jnp.uint32)
+                frac_sum = jnp.sum(
+                    r.astype(jnp.float32) / qf, axis=-2, dtype=jnp.float32
+                )
+                m = int_sum + jnp.floor(frac_sum + 0.5).astype(jnp.uint32)
+                return m % jnp.uint32(t_int)  # [B, N]
 
             self._dec_batch_jit = jax.jit(dot)
             self._dec_sk_cache: Dict[int, tuple] = {}
@@ -607,23 +645,9 @@ class Context:
                 skk: (jnp.asarray(s_nm), jnp.asarray(s2_nm))
             }
         s_nm, s2_nm = self._dec_sk_cache[skk]
-        x = np.asarray(self._dec_batch_jit(cd, s_nm, s2_nm), np.uint64)  # [B,k,N]
-
-        t = np.uint64(self.t)
-        FP = 40  # fixed-point fraction bits
-        int_sum = np.zeros((x.shape[0], x.shape[2]), np.uint64)
-        frac_sum = np.zeros_like(int_sum)
-        for i, qm in enumerate(self.q_moduli):
-            qq = np.uint64(qm)
-            w = np.uint64(self.base_q.inv[i])  # (Q/q_i)^{-1} mod q_i
-            u = (x[:, i] * w) % qq  # < 2^61, exact in u64
-            a = t * u  # < 2^48
-            int_sum += a // qq
-            r = a % qq
-            kq, rq = np.uint64((1 << FP) // qm), np.uint64((1 << FP) % qm)
-            frac_sum += r * kq + (r * rq) // qq  # exact floor(r*2^FP/q)
-        m = int_sum + ((frac_sum + np.uint64(1 << (FP - 1))) >> np.uint64(FP))
-        return m % t
+        return np.asarray(
+            self._dec_batch_jit(cd, s_nm, s2_nm), np.uint64
+        )  # [B, N] mod t
 
     def decode_batch(self, m: np.ndarray) -> np.ndarray:
         """[B, N] plaintext polys mod t -> [B, N] slot values (vectorized)."""

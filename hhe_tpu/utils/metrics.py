@@ -48,6 +48,22 @@ def he_vec_size(cts: Iterable[bfv.Ciphertext]) -> float:
     return sum(size_mb(serial.dump_ciphertext(ct)) for ct in cts)
 
 
+def he_vec_size_analytic(ct: bfv.Ciphertext) -> float:
+    """Wire size in MB of a (possibly sample-batched [size, B, k, N])
+    ciphertext, counting each sample as its own ``dump_ciphertext`` frame —
+    computed from the SHAPE alone, no device->host transfer.  Byte-equal to
+    ``he_vec_size(_split_batch(ct))`` (tested); at dataset scale actually
+    serializing every result ct through the TPU tunnel just to measure it
+    dominated the benchmark wall clock."""
+    shape = tuple(ct.data.shape)
+    if len(shape) == 3:
+        b, per = 1, shape
+    else:
+        b, per = shape[1], (shape[0],) + shape[2:]
+    hdr = 6 + 4 * len(per)  # serial.dump_array: <4sBB> magic/kind/ndim + dims
+    return b * (int(np.prod(per)) * 4 + hdr) / MB
+
+
 def cipher_size(
     ctx: bfv.Context,
     ct: bfv.Ciphertext,

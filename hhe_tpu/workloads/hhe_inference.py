@@ -404,12 +404,22 @@ def csp_eval_2fc(
 
 def decrypt_2fc_logits(stack: HHEStack, logits_ct: Ciphertext) -> np.ndarray:
     """Class-batched logits ct [2, (B,) C, k, N] -> [B, C] signed logits
-    (logit c lives in every slot of class-ct c; slot 0 is read)."""
+    (logit c lives in every slot of class-ct c; slot 0 is read).
+
+    The (B, C) grid folds into decrypt_batch's batch axis — one device
+    program instead of B*C per-sample host decrypts (bit-identical; the
+    per-sample path remains the fallback for non-full-level cts)."""
     ctx = stack.ctx
-    data = np.asarray(logits_ct.data)
+    data = logits_ct.data
     if data.ndim == 4:  # unbatched [2, C, k, N]
         data = data[:, None]
-    B, C = data.shape[1], data.shape[2]
+    size, B, C, kc, n = data.shape
+    if kc == ctx.k:
+        m = ctx.decrypt_batch(
+            stack.sk, Ciphertext(data.reshape(size, B * C, kc, n))
+        )
+        return ctx.decode_signed_batch(m)[:, 0].reshape(B, C).astype(np.int64)
+    data = np.asarray(data)
     logits = np.empty((B, C), np.int64)
     for i in range(B):
         for c in range(C):
@@ -481,6 +491,156 @@ def hhe_2fc_inference(
     if labels is not None:
         out["accuracy"] = float(np.mean(preds == np.asarray(labels).reshape(-1)[:B]))
     return out
+
+
+FMNIST_WEIGHT_CSV = (
+    "/root/reference/weights/fashion_mnist/fc1_weight_200epochs_bs64_clamp128.csv"
+)
+FMNIST_BIAS_CSV = (
+    "/root/reference/weights/fashion_mnist/fc1_bias_200epochs_bs64_clamp128.csv"
+)
+
+
+def _jit_fc_multi(stack: HHEStack, digit_chunk: Optional[int] = None):
+    """One jitted pass for a multi-class single FC layer: data ct broadcast
+    against C stacked encrypted class-weight rows, BEHZ multiply,
+    relinearize, log-depth rotate-sum, plain bias add — one device dispatch
+    (same batching shape as the 2FC fc1 pass, minus square/fc2)."""
+    import jax
+
+    jkey = f"_jit_fc_multi_{digit_chunk}"
+    if stack.__dict__.get(jkey) is None:
+        ctx = stack.ctx
+
+        def fn(dd, wstack, bias_pt, rk, gks):
+            from ..ops.modular import add_mod
+
+            a = Ciphertext(dd[:, :, None])  # [2, B, 1, k, N]
+            b = Ciphertext(wstack[:, None])  # [2, 1, C, k, N]
+            prod = bfv_eval.relinearize(
+                ctx, bfv_eval.multiply(ctx, a, b), rk, digit_chunk=digit_chunk
+            )
+            sums = helin.encrypted_vec_sum_log(ctx, prod, gks)  # [2, B, C, k, N]
+            c0 = add_mod(sums.data[0], bias_pt[None], ctx.tb_q.q)
+            return jnp.concatenate([c0[None], sums.data[1:]], 0)
+
+        stack.__dict__[jkey] = jax.jit(fn)
+    return stack.__dict__[jkey]
+
+
+def csp_eval_fc_multi(
+    stack: HHEStack,
+    data_ct: Ciphertext,
+    w_cts: List[Ciphertext],
+    bias: np.ndarray,
+    digit_chunk: Optional[int] = None,
+) -> Ciphertext:
+    """Encrypted multi-class FC: logit_c = <x, w_c> + b_c for each of the C
+    encrypted class-weight rows (the reference's per-row mult+relin+rotate-sum
+    loop, ``hhe_pktnn_examples.cpp:960-992``, batched into one dispatch).
+    Returns a class-batched ct [2, B, C, k, N]; logit c lives in every slot
+    of class-ct c, bias already added."""
+    ctx = stack.ctx
+    dd = data_ct.data
+    if dd.ndim == 3:
+        dd = dd[:, None]
+    bias = np.asarray(bias, np.int64).reshape(-1)
+    bias_slots = np.tile(bias[:, None], (1, ctx.n))
+    bias_pt = ctx.plain_for_add_batch(ctx.encode_batch(bias_slots))
+    wstack = jnp.stack([w.data for w in w_cts], axis=1)
+    fn = _jit_fc_multi(stack, digit_chunk=digit_chunk)
+    return Ciphertext(fn(dd, wstack, bias_pt, stack.rk, stack.gks))
+
+
+def hhe_fmnist_1fc_inference(
+    stack: HHEStack,
+    samples: Optional[np.ndarray] = None,
+    batch: int = 4,
+    via_transcipher: bool = True,
+    check_parity: bool = True,
+    seed: int = 0,
+    run: Optional[RunConfig] = None,
+) -> Dict[str, np.ndarray]:
+    """The reference's ``fmnist`` dataset switch
+    (``hhe_pktnn_examples.h:86-88``) validated end-to-end encrypted on its
+    SHIPPED FashionMNIST model: the one-layer 784x10 weights + bias
+    (``weights/fashion_mnist/fc1_{weight,bias}_200epochs_bs64_clamp128.csv``)
+    through PASTA encrypt -> transcipher (7 blocks, mask+flatten) ->
+    encrypted per-class product + rotate-sum + bias -> analyst decrypt ->
+    argmax.
+
+    **Documented substitution**: FMNIST images are NOT shipped
+    (``data/fmnist/FashionMNIST/raw`` holds label files only), so when
+    ``samples`` is None deterministic surrogate 2-bit-quantized inputs in
+    [0, 4] stand in — the same pattern as ``hhe_ecg_full_inference``.  The
+    hard encrypted-vs-plaintext mod-t parity check is the validated
+    contract; label accuracy is not meaningful under surrogates.
+
+    With ``via_transcipher=False`` the inputs are BFV-encrypted directly
+    (exercising the shipped weights through the encrypted eval without the
+    PASTA stage — the fast-suite variant; the full transcipher path is the
+    slow-marked test)."""
+    ctx = stack.ctx
+    w = np.asarray(pocketnn.read_csv_matrix(FMNIST_WEIGHT_CSV), np.int64)
+    bias = np.asarray(pocketnn.read_csv_matrix(FMNIST_BIAS_CSV), np.int64).reshape(-1)
+    in_dim, C = w.shape
+    assert (in_dim, C) == (784, 10) and bias.shape == (10,)
+    if samples is None:
+        samples = np.random.default_rng(seed).integers(0, 5, (batch, in_dim))
+    samples = np.atleast_2d(np.asarray(samples, np.int64))
+    samples, _ = _apply_run(samples, None, run)
+    B = samples.shape[0]
+    timer, ledger = metrics.Timer(), metrics.CommLedger()
+
+    key = pasta.get_fixed_symmetric_key()
+    cipher = pasta.Pasta(key, ctx.t)
+    with timer.phase("user"):
+        if via_transcipher:
+            sym = cipher.encrypt(samples.astype(np.uint64))
+            enc_key = stack.tc.encrypt_key(stack.pk, key)
+            ledger.add(
+                "user-csp",
+                metrics.he_vec_size([enc_key]) + metrics.sym_enc_data_size(sym),
+            )
+        else:
+            data = np.stack(
+                [
+                    np.asarray(ctx.encrypt(stack.pk, ctx.encode(s)).data)
+                    for s in samples
+                ],
+                axis=1,
+            )
+            data_ct = Ciphertext(jnp.asarray(data))  # [2, B, k, N]
+            ledger.add("user-csp", metrics.he_vec_size(_split_batch(data_ct)))
+    ledger.add("analyst-user", metrics.he_pk_size(stack.pk))
+    with timer.phase("analyst"):
+        w_cts = helin.encrypt_weight(ctx, stack.pk, w.T)  # one ct per class
+    ledger.add(
+        "analyst-csp",
+        metrics.he_key_size(stack.rk, stack.gks) + metrics.he_vec_size(w_cts),
+    )
+    with timer.phase("csp"):
+        if via_transcipher:
+            data_ct = csp_decompose(stack, enc_key, sym)
+            _debug_noise(stack, data_ct, "decomposition+flatten", run)
+        logits_ct = csp_eval_fc_multi(stack, data_ct, w_cts, bias)
+    _debug_noise(stack, logits_ct, "fmnist 1fc eval", run)
+    with timer.phase("analyst"):
+        logits = decrypt_2fc_logits(stack, logits_ct)
+    preds = logits.argmax(1)
+
+    if check_parity:
+        t = ctx.t
+        expect = (samples @ w + bias) % t
+        expect = np.where(expect > t // 2, expect - t, expect)
+        if not np.array_equal(logits.astype(np.int64), expect):
+            raise RuntimeError(
+                "FMNIST FC layer's plaintext results and HHE results are different"
+            )
+    report = metrics.experiment_report(timer, ledger)
+    if run is not None and run.verbose:
+        print(metrics.format_experiment_report(report), flush=True)
+    return {"logits": logits, "predictions": preds, "report": report}
 
 
 ECG_WEIGHT_CSV = "/root/reference/weights/ecg/ecg_512/fc1_weight_50epochs_bz4.csv"
@@ -571,13 +731,15 @@ def hhe_ecg_full_inference(
                 )
                 for e in range(0, chunk.shape[0], eval_batch)
             ]
-        for prod in prods:
-            # result size metered per batched ct (one per sample on the wire)
-            result_mb += metrics.he_vec_size(_split_batch(prod))
-            with timer.phase("analyst"):
-                preds.extend(
-                    analyst_decrypt_sum_sigmoid(stack, prod, transcipher.T)
-                )
+        # result size metered per sample frame, analytically — serializing
+        # 45 GB of result cts through the tunnel just to len() them
+        # dominated the wall clock at full scale
+        result_mb += sum(metrics.he_vec_size_analytic(p) for p in prods)
+        with timer.phase("analyst"):
+            # one batched decrypt per chunk (decrypt_batch is the analyst's
+            # vectorized path; 8 sub-slice dispatches -> 1)
+            merged = Ciphertext(jnp.concatenate([p.data for p in prods], axis=1))
+            preds.extend(analyst_decrypt_sum_sigmoid(stack, merged, transcipher.T))
     # meter only the n real samples (padded rows never cross the wire)
     ledger.add("analyst-csp", result_mb * (n / len(sym_p)))
     preds = np.asarray(preds)[:n]

@@ -91,3 +91,19 @@ def test_compile_cache_force_attrs_exist():
     assert hasattr(cc, "_cache_checked")
     assert hasattr(cc, "_cache_used")
     assert callable(cc._is_cache_enabled)
+
+
+def test_he_vec_size_analytic_matches_serialized():
+    """he_vec_size_analytic (shape-only meter, no device->host transfer)
+    must be byte-equal to serializing each sample frame of a batched ct."""
+    import jax.numpy as jnp
+
+    from hhe_tpu.ops import bfv
+    from hhe_tpu.utils import metrics
+    from hhe_tpu.workloads.hhe_inference import _split_batch
+
+    for shape in ((2, 3, 64), (2, 5, 3, 64), (3, 2, 4, 32)):
+        ct = bfv.Ciphertext(jnp.asarray(np.zeros(shape, np.uint32)))
+        assert metrics.he_vec_size_analytic(ct) == metrics.he_vec_size(
+            _split_batch(ct)
+        ), shape

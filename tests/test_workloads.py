@@ -90,6 +90,44 @@ def test_hhe_1fc_qat_trained_weights(stack300, tmp_path):
     assert np.array_equal(out["raw"], expect)
 
 
+def test_hhe_fmnist_shipped_weights():
+    """The reference's `fmnist` dataset switch (hhe_pktnn_examples.h:86-88)
+    on its SHIPPED FashionMNIST one-layer model: the 784x10 weight + bias
+    CSVs through the encrypted per-class product + rotate-sum + bias eval
+    with the hard mod-t parity check (direct BFV input encryption — the
+    full transcipher path is the slow-marked twin below).  Images are not
+    shipped (labels only) — surrogate inputs, documented in the workload
+    docstring."""
+    import os
+
+    if not os.path.exists(wk.FMNIST_WEIGHT_CSV):
+        pytest.skip("reference assets unavailable")
+    stack = wk.build_stack(bfv.BFVParams(n=2048, data_limbs=5, seed=7), input_len=784)
+    out = wk.hhe_fmnist_1fc_inference(
+        stack, batch=2, via_transcipher=False, check_parity=True
+    )
+    assert out["logits"].shape == (2, 10)
+    assert out["predictions"].shape == (2,)
+    rep = out["report"]
+    for party in ("analyst", "user", "csp", "total"):
+        assert rep["computation_ms"][party] > 0.0, party
+
+
+@pytest.mark.slow
+def test_hhe_fmnist_shipped_weights_full_transcipher():
+    """Slow twin of test_hhe_fmnist_shipped_weights: the SAME shipped
+    FashionMNIST weights through the FULL pipeline — PASTA encrypt ->
+    transcipher (7 blocks) -> mask+flatten -> encrypted per-class FC ->
+    analyst decrypt — with the hard mod-t parity check."""
+    import os
+
+    if not os.path.exists(wk.FMNIST_WEIGHT_CSV):
+        pytest.skip("reference assets unavailable")
+    stack = wk.build_stack(bfv.BFVParams(n=2048, data_limbs=13, seed=7), input_len=784)
+    out = wk.hhe_fmnist_1fc_inference(stack, batch=2, check_parity=True)
+    assert out["logits"].shape == (2, 10)
+
+
 def test_hhe_ecg_inference(stack300):
     """ECG-style single-block pipeline: host sum + simple_pocket_sigmoid."""
     from hhe_tpu.models import pocketnn as pk
